@@ -1,0 +1,148 @@
+"""Set-based SCD merges (reference parity: S5, SURVEY §2.1 / §7.2 steps 4-5).
+
+The reference does change detection with a pandas left-merge plus
+row-wise lambdas (ref ETLScript_withSCDimplementation.py:57-65) and
+loads via per-row SQL UPDATE round-trips (ref :86-91) — with three
+documented bugs this engine deliberately fixes (SURVEY §1.5.4/5/7):
+
+* change detection here is **null-safe** (``IS DISTINCT FROM`` /
+  negated ``<=>``) — the reference's pandas ``!=`` re-flags NULL==NULL
+  rows as updates forever;
+* *all* changed rows are applied, not just the last one (the
+  reference's update loop executes only the final UPDATE);
+* SCD2 expiry flips only the ``current_flag=1`` row of each changed
+  key, never the whole history.
+
+There is no UPDATE on an immutable store: merges are expressed as
+joins + union and materialize by atomic overwrite (or Delta
+``MERGE INTO`` where available). At 100 TB: the target scan is pruned
+to the join keys' partitions, the source is typically small enough to
+broadcast, and the rewrite touches only affected partitions when the
+table is date/key-partitioned.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def classify_changes(
+    src: DataFrame,
+    tgt: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Tag each source row ``I`` (new key), ``U`` (changed), ``N`` (no-op).
+
+    The reference's INS_FLAG/UPD_FLAG row-lambdas (ref :60-65),
+    re-expressed as one left join + null-safe comparison. The join is
+    on the business key; with a dim-sized target Catalyst broadcasts it
+    automatically.
+
+    Returns ``src.columns + [change_flag]``.
+
+    The target's compared columns are renamed with a ``__tgt_`` prefix
+    before the join — src and tgt often share lineage (self-join), so
+    positional column references would be ambiguous.
+    """
+    # presence marker: a key can exist in the target with all-NULL
+    # attributes, so insert-detection can't test an attribute column
+    marked_tgt = tgt.select(
+        *keys, *[F.col(c).alias(f"__tgt_{c}") for c in compare_cols]
+    ).withColumn("__present__", F.lit(1))
+    joined = src.join(marked_tgt, on=list(keys), how="left")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"__tgt_{c}"))
+    flag = (
+        F.when(F.col("__present__").isNull(), F.lit("I"))
+        .when(differs, F.lit("U"))
+        .otherwise(F.lit("N"))
+    )
+    return joined.select(*src.columns, flag.alias("change_flag"))
+
+
+def scd1_merge(
+    tgt: DataFrame,
+    src: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """SCD Type 1 upsert: source overwrites matching keys, new keys append.
+
+    Intent of the reference's 4-way insert/update branch (ref :74-121)
+    for the 8 SCD1 tables. Result = src ∪ (tgt anti-join src on key).
+    ``compare_cols`` is accepted for parity/diagnostics but the
+    overwrite result is identical whether or not unchanged rows are
+    rewritten — idempotent by construction (feeding the same batch
+    twice changes nothing).
+    """
+    untouched = tgt.join(src.select(*keys), on=list(keys), how="left_anti")
+    return untouched.unionByName(src.select(*tgt.columns))
+
+
+def scd2_merge(
+    tgt: DataFrame,
+    src: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    run_ts: str,
+    high_ts: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """SCD Type 2 merge with history preservation.
+
+    Target carries ``current_flag`` (1/0), ``effective_timestamp``,
+    ``expire_timestamp`` (ref Createtables_BIKES.sql:73-82). Semantics
+    (the *intent* of ref :630-717, with §1.5.5/7 fixed):
+
+    * key in src, not in tgt → append new current row;
+    * key in both, compared cols differ (null-safe) vs the *current*
+      version → expire that current row (``current_flag=0``,
+      ``expire_timestamp=run_ts``) and append a new current row;
+    * unchanged or historical rows pass through untouched.
+
+    ``run_ts`` is an explicit parameter — never the wall clock — so the
+    merge is deterministic and testable (SURVEY §1.5.3). Invariant:
+    exactly one ``current_flag=1`` row per key after the merge.
+    """
+    key_list = list(keys)
+    current = tgt.filter(F.col("current_flag") == 1)
+    history = tgt.filter(F.col("current_flag") != 1)
+
+    marked = current.withColumn("__present__", F.lit(1))
+    j = src.alias("s").join(
+        marked.alias("c"), on=key_list, how="left"
+    )
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"s.{c}").eqNullSafe(F.col(f"c.{c}"))
+    changed_or_new = j.filter(F.col("__present__").isNull() | differs).select(
+        *key_list, *[F.col(f"s.{c}").alias(c) for c in compare_cols]
+    )
+
+    # expire the current version of changed keys (only current_flag=1 —
+    # the reference's WHERE hit every historical version, §1.5.7)
+    changed_keys = changed_or_new.select(*key_list)
+    expired = (
+        current.join(changed_keys, on=key_list, how="left_semi")
+        .withColumn("current_flag", F.lit(0).cast("long"))
+        .withColumn("expire_timestamp", F.lit(run_ts).cast("timestamp"))
+    )
+    unchanged_current = current.join(changed_keys, on=key_list, how="left_anti")
+
+    new_rows = (
+        changed_or_new.withColumn("current_flag", F.lit(1).cast("long"))
+        .withColumn("effective_timestamp", F.lit(run_ts).cast("timestamp"))
+        .withColumn("expire_timestamp", F.lit(high_ts).cast("timestamp"))
+    )
+
+    cols = [c for c in tgt.columns]
+    return (
+        history.select(*cols)
+        .unionByName(unchanged_current.select(*cols))
+        .unionByName(expired.select(*cols))
+        .unionByName(new_rows.select(*cols))
+    )

@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The same configuration works from KB (reference bikes CSVs) to 100 TB
+(partition counts and input paths are the only knobs): AQE re-plans at
+runtime (broadcast conversion, partition coalescing, skew-join
+splitting), shuffle partitions default to the local core count but are
+overridable via ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` for cluster runs,
+and Arrow is enabled for the (rare) pandas-UDF extension points.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bikes-dwh-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Parameters
+    ----------
+    master:
+        Defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) when
+        no cluster master is configured. On a real cluster, pass
+        ``None`` and let spark-submit supply the master.
+    shuffle_partitions:
+        Post-shuffle parallelism. With AQE on, this is the *upper
+        bound*; AQE coalesces small partitions down. At 100 TB set this
+        to ~2-3x total executor cores via env.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- Adaptive execution: runtime re-planning at any scale ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- Shuffle sizing ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- Scan sizing: 128 MB splits keep partitions memory-safe ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- Arrow for the pandas-UDF extension points ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- Read parquet nanosecond timestamps (events.ts) ---
+        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # --- Deterministic session timezone for date/timestamp logic ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # Quiet the UI in test/bench loops
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,28 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    # fewer local threads + shuffle partitions → faster test startup;
+    # semantics are identical to the scale configuration
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+    from bikes_data_warehouse_etl_spark.session import get_spark
+
+    s = get_spark("tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR

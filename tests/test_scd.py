@@ -1,0 +1,117 @@
+"""SCD1/SCD2 merge semantics (SURVEY §5.1/§5.4 property checks).
+
+These pin the *intent* semantics with the reference's bugs fixed:
+null-safe change detection (§1.5.4), all changed rows applied (§1.5.5),
+SCD2 expires only the current version (§1.5.7), exactly one
+current_flag=1 row per key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bikes_data_warehouse_etl_spark.operators.merge import (
+    classify_changes,
+    scd1_merge,
+    scd2_merge,
+)
+
+SCHEMA = "k long, a string, b long"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_classify_insert_update_noop_and_null_safety(spark):
+    tgt = _df(spark, [(1, "x", 10), (2, None, 20), (3, "z", None)])
+    src = _df(
+        spark,
+        [
+            (1, "x", 10),     # identical → N
+            (2, None, 20),    # NULL == NULL → N (reference bug §1.5.4 fixed)
+            (3, "z", 99),     # changed → U
+            (4, "new", 40),   # absent key → I
+        ],
+    )
+    flags = {
+        r["k"]: r["change_flag"]
+        for r in classify_changes(src, tgt, ["k"], ["a", "b"]).collect()
+    }
+    assert flags == {1: "N", 2: "N", 3: "U", 4: "I"}
+
+
+def test_scd1_merge_upserts_and_is_idempotent(spark):
+    tgt = _df(spark, [(1, "x", 10), (2, "y", 20)])
+    src = _df(spark, [(2, "y2", 21), (3, "z", 30)])
+    merged = scd1_merge(tgt, src, ["k"])
+    assert {(r["k"], r["a"], r["b"]) for r in merged.collect()} == {
+        (1, "x", 10),
+        (2, "y2", 21),
+        (3, "z", 30),
+    }
+    # idempotence: merging the same source again changes nothing
+    again = scd1_merge(merged, src, ["k"])
+    assert sorted(again.collect()) == sorted(merged.collect())
+
+
+def _scd2_target(spark, rows):
+    schema = (
+        "k string, price long, current_flag long, "
+        "effective_timestamp timestamp, expire_timestamp timestamp"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_scd2_expire_and_append(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1)
+    hi = dt.datetime(9999, 12, 31)
+    tgt = _scd2_target(
+        spark,
+        [
+            ("A", 100, 1, t0, hi),
+            ("B", 200, 1, t0, hi),
+            # key C already has history: one expired + one current
+            ("C", 300, 0, t0, dt.datetime(2021, 1, 1)),
+            ("C", 310, 1, dt.datetime(2021, 1, 1), hi),
+        ],
+    )
+    src = spark.createDataFrame(
+        [("A", 150), ("B", 200), ("C", 320), ("D", 400)], "k string, price long"
+    )
+    out = scd2_merge(tgt, src, ["k"], ["price"], run_ts="2022-06-01 00:00:00")
+    rows = out.collect()
+
+    # invariant: exactly one current row per key
+    current = [r for r in rows if r["current_flag"] == 1]
+    assert sorted(r["k"] for r in current) == ["A", "B", "C", "D"]
+    cur = {r["k"]: r for r in current}
+    assert cur["A"]["price"] == 150 and cur["C"]["price"] == 320
+    assert cur["B"]["price"] == 200  # unchanged → original row untouched
+    assert cur["B"]["effective_timestamp"] == t0
+    assert cur["D"]["price"] == 400  # brand-new key
+
+    # changed keys: old current expired at run_ts, only that version
+    expired_a = [r for r in rows if r["k"] == "A" and r["current_flag"] == 0]
+    assert len(expired_a) == 1
+    assert str(expired_a[0]["expire_timestamp"]) == "2022-06-01 00:00:00"
+    # C's *historical* row keeps its original expiry (§1.5.7 fixed)
+    c_hist = [
+        r for r in rows if r["k"] == "C" and r["price"] == 300
+    ]
+    assert str(c_hist[0]["expire_timestamp"]) == "2021-01-01 00:00:00"
+    # C's history row + B unchanged + expired currents of A and C + 3 new versions
+    assert len(rows) == 7
+
+
+def test_scd2_idempotent_on_rerun(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1)
+    hi = dt.datetime(9999, 12, 31)
+    tgt = _scd2_target(spark, [("A", 100, 1, t0, hi)])
+    src = spark.createDataFrame([("A", 100)], "k string, price long")
+    out = scd2_merge(tgt, src, ["k"], ["price"], run_ts="2022-06-01 00:00:00")
+    assert sorted(out.collect()) == sorted(tgt.collect())
