@@ -90,7 +90,11 @@ def scd2_merge(
     keys: Sequence[str],
     compare_cols: Sequence[str],
     run_ts: str,
-    high_ts: str = "9999-12-31 00:00:00",
+    high_ts: str | None = "9999-12-31 00:00:00",
+    current_col: str = "current_flag",
+    eff_col: str = "effective_timestamp",
+    exp_col: str = "expire_timestamp",
+    surrogate: str | None = None,
 ) -> DataFrame:
     """SCD Type 2 merge with history preservation.
 
@@ -107,10 +111,16 @@ def scd2_merge(
     ``run_ts`` is an explicit parameter — never the wall clock — so the
     merge is deterministic and testable (SURVEY §1.5.3). Invariant:
     exactly one ``current_flag=1`` row per key after the merge.
+
+    ``surrogate`` names an identity column in the target (the
+    reference's ``PID Identity(1,1)``, Createtables_BIKES.sql:74); new
+    version rows are numbered ``max(existing) + row_number over keys``
+    — deterministic under any partitioning, unlike
+    ``monotonically_increasing_id`` (SURVEY §7.4.5).
     """
     key_list = list(keys)
-    current = tgt.filter(F.col("current_flag") == 1)
-    history = tgt.filter(F.col("current_flag") != 1)
+    current = tgt.filter(F.col(current_col) == 1)
+    history = tgt.filter(F.col(current_col) != 1)
 
     marked = current.withColumn("__present__", F.lit(1))
     j = src.alias("s").join(
@@ -128,16 +138,33 @@ def scd2_merge(
     changed_keys = changed_or_new.select(*key_list)
     expired = (
         current.join(changed_keys, on=key_list, how="left_semi")
-        .withColumn("current_flag", F.lit(0).cast("long"))
-        .withColumn("expire_timestamp", F.lit(run_ts).cast("timestamp"))
+        .withColumn(current_col, F.lit(0).cast("long"))
+        .withColumn(exp_col, F.lit(run_ts).cast("timestamp"))
     )
     unchanged_current = current.join(changed_keys, on=key_list, how="left_anti")
 
+    # high_ts=None → open-ended current rows carry NULL expiry (the
+    # reference DDL's convention, Createtables_BIKES.sql:81)
     new_rows = (
-        changed_or_new.withColumn("current_flag", F.lit(1).cast("long"))
-        .withColumn("effective_timestamp", F.lit(run_ts).cast("timestamp"))
-        .withColumn("expire_timestamp", F.lit(high_ts).cast("timestamp"))
+        changed_or_new.withColumn(current_col, F.lit(1).cast("long"))
+        .withColumn(eff_col, F.lit(run_ts).cast("timestamp"))
+        .withColumn(exp_col, F.lit(high_ts).cast("timestamp"))
     )
+    if surrogate is not None:
+        from pyspark.sql.window import Window
+
+        max_sk = tgt.agg(
+            F.coalesce(F.max(surrogate), F.lit(0)).cast("long").alias("__max_sk__")
+        )
+        w = Window.orderBy(*key_list)
+        new_rows = (
+            new_rows.crossJoin(F.broadcast(max_sk))
+            .withColumn(
+                surrogate,
+                (F.col("__max_sk__") + F.row_number().over(w)).cast("long"),
+            )
+            .drop("__max_sk__")
+        )
 
     cols = [c for c in tgt.columns]
     return (
