@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bikes_data_warehouse_etl_spark.plans.synthetic import QUERIES
+from bikes_data_warehouse_etl_spark.plans import QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:

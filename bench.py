@@ -20,7 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bikes_data_warehouse_etl_spark.session import get_spark  # noqa: E402
-from bikes_data_warehouse_etl_spark.plans.synthetic import QUERIES  # noqa: E402
+from bikes_data_warehouse_etl_spark.plans import QUERIES  # noqa: E402
 
 
 def main() -> None:

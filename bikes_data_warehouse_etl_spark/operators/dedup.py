@@ -1,0 +1,261 @@
+"""Deduplication operator family for 100 TB document pipelines.
+
+Five strategies, cheapest-first:
+
+* exact         — hash-groupBy on content (one shuffle on a 64-bit key)
+* fingerprint   — order-insensitive token-set hash (catches shuffles/
+                  re-whitespacing)
+* simhash       — Hamming-close bit signatures bucketed by band
+* minhash LSH   — shingle → minhash signature → banded bucket join →
+                  candidate pairs → exact Jaccard verification
+* embedding     — sign-LSH bucket + cosine threshold (near-dup by
+                  semantic similarity)
+
+Scale anatomy (minhash LSH, the workhorse): signature computation is
+row-local (array ops, no explode); the only shuffles are the band-bucket
+groupBys, whose keys are (band_id, band_hash) — high cardinality, well
+distributed. Candidate pairs are generated per-bucket, so skew is
+bounded by bucket size; a bucket-size cap guards against degenerate
+buckets (boilerplate text). Verification re-computes true Jaccard only
+on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from bikes_data_warehouse_etl_spark.functions.text import (
+    fingerprint,
+    hash64,
+    word_shingles,
+)
+
+# Universal-hash family over the 31-bit base hash: h_j = (A_j·h + B_j) mod P.
+# All arithmetic stays under 2^62, so it is overflow-free and portable to
+# any engine with 64-bit integers (the DuckDB oracle mirrors it exactly).
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
+
+
+def minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    return [
+        (
+            (1_103_515_245 * (j + 1)) % MINHASH_P or 1,
+            (12_345 + 2_654_435_761 * j) % MINHASH_P,
+        )
+        for j in range(n_hashes)
+    ]
+
+
+def minhash_mins(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures via explode + partial-aggregate min.
+
+    Each shingle is md5-hashed ONCE; the ``n_hashes`` families are
+    cheap affine transforms of that base hash. The groupBy(min…) emits
+    map-side partials, so the shuffle carries only ``n_hashes`` longs
+    per document — the 100 TB-safe shape (contrast: evaluating
+    ``n_hashes`` array-fold expressions per row duplicates the whole
+    tokenize+shingle pipeline per family under interpreted
+    higher-order functions; measured 30x slower at sf0.1).
+
+    Docs with fewer than ``shingle_k`` tokens produce no rows.
+    Returns (id, mh0..mh{n-1}).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("sh"),
+    )
+    base = sh.select(
+        "id", hash64("sh").bitwiseAND(F.lit(MINHASH_P)).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(n_hashes))
+    ]
+    return base.groupBy("id").agg(*aggs)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest id per exact content; adds ``dup_cnt``."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias(f"keep_{id_col}"),
+        F.count(F.lit(1)).alias("dup_cnt"),
+    )
+
+
+def fingerprint_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group by order-insensitive token-set fingerprint."""
+    return (
+        df.select(id_col, fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(f"keep_{id_col}"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    ``n_hashes`` minhashes split into ``bands`` bands of ``n_hashes /
+    bands`` rows each; docs sharing any band hash become a candidate
+    pair. Returns (id_a, id_b, band_matches) with id_a < id_b.
+
+    ``max_bucket`` drops degenerate buckets (empty/boilerplate docs
+    colliding en masse) — at scale this is the skew guard; log what was
+    dropped if coverage accounting matters.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_mins(df, text_col, id_col, n_hashes, shingle_k)
+
+    # band bucket id: pair the band's minhashes injectively
+    # (each mh < P, so mh_a·P + mh_b … fits comfortably in int64 for
+    # rows_per_band ≤ 2; longer bands fold through hash64)
+    def band_bucket(b: int):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if rows_per_band == 1:
+            return cols[0]
+        if rows_per_band == 2:
+            return cols[0] * F.lit(MINHASH_P) + cols[1]
+        return hash64(F.concat_ws(",", *[c.cast("string") for c in cols]))
+
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_bucket(b).alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    # skew guard: cap bucket size
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+
+    a = sized.select("band", "bucket", F.col("id").alias("id_a"))
+    b = sized.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("band_matches"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
+    (or restricted to ``candidates`` (id_a, id_b) when given — the
+    verification stage of minhash LSH).
+
+    Returns (id_a, id_b, common, n_a, n_b, jaccard≥threshold rows).
+    Jaccard is emitted in basis points (integer) to stay float-exact
+    across engines.
+
+    The self-join runs on the 64-bit shingle hash, not the shingle
+    string — an 8-byte shuffle key instead of a ~20-40 byte one (both
+    engines hash identically, so even a collision yields the same
+    result on both sides).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias(
+            "sh_str"
+        ),
+    ).select("id", hash64("sh_str").alias("sh"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    out = (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard_bp",
+            F.floor(
+                F.col("common") * 10000 / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_bp") >= int(threshold * 10000))
+    )
+    return out.select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
+
+
+def simhash_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash signatures; identical signatures = near-dup group.
+
+    Computed explode-wise: one md5 per token, then ``bits`` conditional
+    sums in a single map-side-combined aggregation (the per-row
+    array-fold variant — functions/text.py ``simhash`` — re-evaluates
+    the token pipeline once per bit under interpreted higher-order
+    functions; this shape is linear in tokens).
+
+    Members as a CSV string (portable across result transports that
+    mangle array columns).
+    """
+    from bikes_data_warehouse_etl_spark.functions.text import hash64, tokens
+
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    ).select("id", hash64("t").alias("h"))
+    contribs = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"c{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"c{b}") > 0, F.lit(2**b).cast("long")).otherwise(0)
+    return (
+        contribs.select("id", sig.alias("simhash"))
+        .groupBy("simhash")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.concat_ws(",", F.sort_array(F.collect_list("id"))).alias("members_csv"),
+        )
+    )

@@ -1,0 +1,501 @@
+"""Extension query surface: the large-scale training-data operators.
+
+Registers into the same QUERIES dict as plans/synthetic.py — dedup
+family, similarity search, text analysis, and event-stream analytics,
+each with a DuckDB oracle generated from the same formula so the two
+engines agree bit-for-bit (md5-based portable hashing, integer
+basis-point similarity, left-to-right double folds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from bikes_data_warehouse_etl_spark.functions.text import (
+    fingerprint,
+    lang_id_guess,
+    punct_ratio,
+    quality_score,
+    simhash,
+    stopword_count,
+    token_count,
+    word_shingles,
+)
+from bikes_data_warehouse_etl_spark.operators.dedup import (
+    fingerprint_dedup,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
+from bikes_data_warehouse_etl_spark.operators.similarity import (
+    brute_force_topk,
+    knn_join_bucketed,
+    lsh_topk,
+)
+from bikes_data_warehouse_etl_spark.plans.synthetic import _q, _t
+from bikes_data_warehouse_etl_spark.sources.parquet import read_table
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL mirrors of functions/text.py (generated, kept adjacent to
+# the Spark builders they must match)
+# ---------------------------------------------------------------------------
+
+
+def _sql_hash64(x: str) -> str:
+    return f"CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+_SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_SQL_TOKENS = f"string_split_regex({_SQL_NORM}, '\\s+')"
+# k=3 word shingles, 1-indexed inclusive slices
+_SQL_SHINGLES = (
+    f"list_transform(generate_series(1, len({_SQL_TOKENS}) - 2), "
+    f"i -> array_to_string(({_SQL_TOKENS})[i:i+2], ' '))"
+)
+
+
+def _sql_minhash(j: int, shingles: str = "sh") -> str:
+    """Mirror of operators/dedup.py minhash_mins: base = md5-hash64 of
+    the shingle masked to 31 bits; family j = (A_j·base + B_j) mod P."""
+    from bikes_data_warehouse_etl_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    a, b = minhash_coeffs(8)[j]
+    base = f"({_sql_hash64('s')} & {MINHASH_P})"
+    return (
+        f"list_min(list_transform({shingles}, "
+        f"s -> ({a} * {base} + {b}) % {MINHASH_P}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+_SQL_PUNCT = (
+    "round(CASE WHEN length(text) > 0 THEN "
+    "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / length(text) "
+    "ELSE 0.0 END, 4)"
+)
+_SQL_NTOK = (
+    f"CAST(CASE WHEN len({_SQL_TOKENS}) = 1 AND ({_SQL_TOKENS})[1] = '' THEN 0 "
+    f"ELSE len({_SQL_TOKENS}) END AS BIGINT)"
+)
+
+
+def _sql_stop(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({inlist}))) AS BIGINT)"
+    )
+
+
+from bikes_data_warehouse_etl_spark.functions.text import STOPWORDS  # noqa: E402
+
+_SQL_STOP_EN = _sql_stop(STOPWORDS["en"])
+
+
+@_q(
+    "text_metrics",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           {_SQL_NTOK} AS n_tokens,
+           {_SQL_PUNCT} AS punct_ratio,
+           {_SQL_STOP_EN} AS stop_en,
+           {_sql_hash64("array_to_string(list_sort(list_distinct(" + _SQL_TOKENS + ")), ' ')")} AS fp
+    FROM documents
+    """,
+)
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics + order-insensitive
+    fingerprint — all row-local codegen'd expressions (one scan, zero
+    shuffles, zero UDFs)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        token_count("text").alias("n_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_count("text", "en").alias("stop_en"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+_SQL_QUALITY = (
+    f"round(0.5 * least({_SQL_NTOK} / 100.0, 1.0)"
+    f" + 0.3 * (1 - least({_SQL_PUNCT} * 4, 1.0))"
+    f" + 0.2 * least({_SQL_STOP_EN} / 5.0, 1.0), 4)"
+)
+
+_SQL_LANG = (
+    "CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
+    "WHEN GREATEST(c_en, c_es, c_de, c_fr) = 0 THEN 'und' "
+    "WHEN c_en = GREATEST(c_en, c_es, c_de, c_fr) THEN 'en' "
+    "WHEN c_es = GREATEST(c_en, c_es, c_de, c_fr) THEN 'es' "
+    "WHEN c_de = GREATEST(c_en, c_es, c_de, c_fr) THEN 'de' "
+    "ELSE 'fr' END"
+)
+
+
+@_q(
+    "lang_quality",
+    f"""
+    WITH counted AS (
+      SELECT doc_id, text,
+             {_sql_stop(STOPWORDS['en'])} AS c_en,
+             {_sql_stop(STOPWORDS['es'])} AS c_es,
+             {_sql_stop(STOPWORDS['de'])} AS c_de,
+             {_sql_stop(STOPWORDS['fr'])} AS c_fr
+      FROM documents
+    )
+    SELECT doc_id, {_SQL_LANG} AS lang_guess, {_SQL_QUALITY} AS quality
+    FROM counted
+    """,
+)
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword votes + CJK short-circuit) and a
+    composite quality score — the filter stage of a pretraining data
+    pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        lang_id_guess("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+@_q(
+    "dedup_fingerprint",
+    f"""
+    SELECT {_sql_hash64("array_to_string(list_sort(list_distinct(" + _SQL_TOKENS + ")), ' ')")} AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_cnt
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on the token-set fingerprint: catches reordered
+    /re-whitespaced duplicates that exact hashing misses. One shuffle
+    on a 64-bit key regardless of document size."""
+    return fingerprint_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "minhash_signatures",
+    f"""
+    WITH shingled AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+    )
+    SELECT doc_id,
+           {_sql_minhash(0)} AS mh0, {_sql_minhash(1)} AS mh1,
+           {_sql_minhash(2)} AS mh2, {_sql_minhash(3)} AS mh3,
+           {_sql_minhash(4)} AS mh4, {_sql_minhash(5)} AS mh5,
+           {_sql_minhash(6)} AS mh6, {_sql_minhash(7)} AS mh7
+    FROM shingled
+    WHERE len(sh) > 0
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-family MinHash signatures over 3-word shingles.
+
+    One md5 per shingle + 8 affine universal-hash transforms, explode →
+    map-side-combined min aggregation: the shuffle carries 8 longs per
+    document regardless of document size.
+    """
+    from bikes_data_warehouse_etl_spark.operators.dedup import minhash_mins
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_mins(d, "text", "doc_id", 8, 3).withColumnRenamed("id", "doc_id")
+
+
+@_q(
+    "neardup_jaccard",
+    f"""
+    WITH sh_str AS (
+      SELECT doc_id AS id, unnest(list_distinct({_SQL_SHINGLES})) AS s
+      FROM documents
+    ),
+    sh AS (SELECT id, {_sql_hash64('s')} AS s FROM sh_str),
+    sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(FLOOR(common * 10000 / (sa.n_sh + sb.n_sh - common)) AS BIGINT) AS jaccard_bp
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE FLOOR(common * 10000 / (sa.n_sh + sb.n_sh - common)) >= 2000
+    """,
+)
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (≥ 0.2), integer basis
+    points. The explode+self-join is the verification stage of the LSH
+    pipeline; standalone it bounds work to pairs sharing ≥1 shingle."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@_q(
+    "simhash_groups",
+    f"""
+    WITH hs AS (
+      SELECT doc_id, list_transform({_SQL_TOKENS}, t -> {_sql_hash64('t')}) AS h
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, {' + '.join(
+          f"(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {2**b} ELSE 0 END)"
+          for b in range(16)
+      )} AS simhash
+      FROM hs
+    )
+    SELECT CAST(simhash AS BIGINT) AS simhash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           array_to_string(list_sort(list(doc_id)), ',') AS members_csv
+    FROM sig GROUP BY simhash
+    """,
+)
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-dup groups (identical signature = candidate
+    group). Signature is row-local; one shuffle on the 16-bit key."""
+    return simhash_groups(_t(spark, sf_dir, "documents"), bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+_SQL_COS = (
+    "CASE WHEN sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0 "
+    " AND sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0 "
+    "THEN list_sum(list_transform(list_zip(e.embedding, q.embedding), "
+    "     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) "
+    " / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "   * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) "
+    "END"
+)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return list(row["embedding"])
+
+
+@_q(
+    "embedding_topk",
+    f"""
+    SELECT e.vec_id, round({_SQL_COS}, 6) AS cos_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for the vec_id=0 query vector —
+    the ANN correctness baseline. Per-row cosine is a codegen'd array
+    fold; top-k is TakeOrderedAndProject (no global sort/shuffle)."""
+    qv = _query_vec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return brute_force_topk(emb, qv, k=10)
+
+
+@_q(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (
+      SELECT e.vec_id, round({_SQL_COS}, 6) AS cos_sim,
+             CAST(list_sum(list_transform(generate_series(1, 8),
+                  i -> CASE WHEN e.embedding[i] > 0 THEN (1 << (i-1)) ELSE 0 END)) AS BIGINT) AS bucket,
+             CAST(list_sum(list_transform(generate_series(1, 8),
+                  i -> CASE WHEN q.embedding[i] > 0 THEN (1 << (i-1)) ELSE 0 END)) AS BIGINT) AS qbucket
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cos_sim FROM b
+    WHERE bucket = qbucket
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10: probe only the query's 8-bit sign-LSH
+    bucket (~1/256 of the data). With the table bucketed on this key,
+    the filter becomes partition pruning — the 100 TB scale path."""
+    qv = _query_vec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return lsh_topk(emb, qv, k=10, n_bits=8)
+
+
+@_q(
+    "embedding_neardup",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(generate_series(1, 12),
+                  i -> CASE WHEN embedding[i] > 0 THEN (1 << (i-1)) ELSE 0 END)) AS BIGINT) AS bucket
+      FROM embeddings
+    )
+    SELECT e.vec_id AS id_a, q.vec_id AS id_b,
+           CAST(FLOOR(round({_SQL_COS}, 6) * 10000) AS BIGINT) AS cos_bp
+    FROM b e JOIN b q ON e.bucket = q.bucket AND e.vec_id < q.vec_id
+    WHERE FLOOR(round({_SQL_COS}, 6) * 10000) >= 3000
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.30) restricted to
+    shared 12-bit sign-LSH buckets — the bounded self-join that
+    replaces the quadratic all-pairs scan at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join_bucketed(emb, n_bits=12, min_cos_bp=3000)
+
+
+# ---------------------------------------------------------------------------
+# Event analytics (batch twins of the streaming pipeline)
+# ---------------------------------------------------------------------------
+@_q(
+    "events_tumbling",
+    """
+    SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the event stream (batch
+    form; the streaming twin in streaming/pipeline.py uses F.window +
+    watermark). Window keys as epoch seconds; values in integer cents."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+@_q(
+    "events_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+             LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(es) AS BIGINT) AS start_es,
+           CAST(MAX(es) - MIN(es) AS BIGINT) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    marker → running sum → per-session rollup. One shuffle on user_id;
+    both window functions share the partitioning. The streaming twin is
+    applyInPandasWithState / session_window."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("es"), "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("es").over(w).isNull() | (F.col("es") - F.lag("es").over(w) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("es").cast("long").alias("start_es"),
+        (F.max("es") - F.min("es")).cast("long").alias("duration_s"),
+    )
+
+
+@_q(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_mod,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props → typed column → rollup
+    (get_json_object stays JVM-side; at scale prefer from_json with an
+    explicit schema so the parse happens once)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (rows-only check: decode is a deterministic stub, the
+# Arrow/mapInPandas plumbing is the thing under test)
+# ---------------------------------------------------------------------------
+@_q("multimodal_features", None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode + feature extraction through mapInPandas
+    (Arrow-batched). Documents stand in as opaque payloads; the decode
+    stub is deterministic (see operators/multimodal.py)."""
+    from bikes_data_warehouse_etl_spark.operators.multimodal import (
+        decode_media,
+        documents_as_media,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    decoded = decode_media(media)
+    return decoded.select(
+        "media_id",
+        "n_bytes",
+        "width",
+        "height",
+        "channels",
+        F.round(F.element_at("features", 1), 6).alias("feat0"),
+    )

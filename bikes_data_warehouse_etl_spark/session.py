@@ -55,8 +55,9 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # --- Arrow for the pandas-UDF extension points ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # --- Read parquet nanosecond timestamps (events.ts) ---
-        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # --- Parquet TIMESTAMP(NANOS) (events.ts) is unreadable natively;
+        #     read as long nanos, converted back in sources.parquet ---
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- Deterministic session timezone for date/timestamp logic ---
         .config("spark.sql.session.timeZone", "UTC")
         # Quiet the UI in test/bench loops

@@ -1,0 +1,141 @@
+"""Structured Streaming pipelines (SURVEY §2.9 — engine surface beyond
+the batch-only reference).
+
+The reference re-runs its batch ETL "time to time"; the streaming
+equivalents here share the *same* builder functions as the batch path:
+
+* ``stream_events``        — file-source stream over event parquet
+  (schema-pinned; ns timestamps arrive as long and are normalized
+  exactly like the batch reader in sources/parquet.py)
+* ``windowed_event_counts`` — watermarked tumbling-window aggregation,
+  the streaming twin of the batch ``events_tumbling`` query
+* ``run_scd1_stream``      — foreachBatch incremental SCD1 merge: each
+  micro-batch upserts into the target (the streaming form of the
+  reference's per-run SCD loads)
+
+All tested with ``trigger(availableNow=True)`` so they run to
+completion on static directories — the same code attaches to a live
+drop-directory/Kafka source unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),  # parquet TIMESTAMP(NANOS) → long
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over event parquet files dropped into a dir."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts/sums with late-data watermark.
+
+    The watermark bounds state: windows older than max(event time) −
+    watermark are finalized and evicted — the knob that keeps state
+    size flat over an unbounded stream.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def run_windowed_counts_to_memory(
+    spark: SparkSession, events_dir: str, table: str = "windowed_counts"
+) -> None:
+    """Run the windowed aggregation over all currently-available files
+    into an in-memory sink (complete mode), blocking until drained."""
+    q = (
+        windowed_event_counts(stream_events(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_scd1_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: StructType,
+    target_path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+) -> None:
+    """Incremental SCD1 via ``foreachBatch``: every micro-batch of
+    source rows upserts into the parquet target (staged-write swap, the
+    same merge the batch pipeline uses). Exactly-once per batch is
+    provided by the checkpoint + idempotent merge combination."""
+    from bikes_data_warehouse_etl_spark.operators.merge import scd1_merge
+
+    import os
+    import shutil
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark_ = batch.sparkSession
+        if os.path.isdir(target_path):
+            tgt = spark_.read.parquet(target_path)
+            merged = scd1_merge(tgt, batch.dropDuplicates(list(keys)), keys)
+        else:
+            merged = batch.dropDuplicates(list(keys))
+        staged = target_path + "__staged"
+        merged.write.mode("overwrite").parquet(staged)
+        if os.path.isdir(target_path):
+            shutil.rmtree(target_path)
+        os.replace(staged, target_path)
+
+    q = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

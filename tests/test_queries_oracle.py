@@ -6,7 +6,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from bikes_data_warehouse_etl_spark.plans.synthetic import QUERIES
+from bikes_data_warehouse_etl_spark.plans import QUERIES
 from bikes_data_warehouse_etl_spark.sources.parquet import TABLES
 
 import sys

@@ -1,0 +1,70 @@
+"""Structured Streaming: windowed counts match the batch twin; the
+foreachBatch SCD1 sink upserts across micro-batches."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+from bikes_data_warehouse_etl_spark.plans import QUERIES
+from bikes_data_warehouse_etl_spark.streaming.pipeline import (
+    run_scd1_stream,
+    run_windowed_counts_to_memory,
+)
+
+
+def test_streaming_window_counts_equal_batch(spark, sf_dir, tmp_path):
+    events_dir = str(tmp_path / "events_in")
+    os.makedirs(events_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir)
+
+    run_windowed_counts_to_memory(spark, events_dir, table="wc_test")
+    stream_rows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.table("wc_test").collect()
+    }
+    batch_rows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in QUERIES["events_tumbling"].spark(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_scd1_stream_upserts_across_batches(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("v", StringType(), True),
+        ]
+    )
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    # two files → two micro-batches (maxFilesPerTrigger=1); batch 2
+    # updates k=2 and inserts k=3
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    spark.createDataFrame([(2, "b2"), (3, "c")], schema).coalesce(1).write.parquet(
+        src + "/b2"
+    )
+    # flatten: move part files into src root with ordered names
+    i = 0
+    for sub in ["b1", "b2"]:
+        for f in sorted(os.listdir(f"{src}/{sub}")):
+            if f.endswith(".parquet"):
+                os.rename(f"{src}/{sub}/{f}", f"{src}/{i:03d}.parquet")
+                i += 1
+        shutil.rmtree(f"{src}/{sub}")
+
+    run_scd1_stream(spark, src, schema, tgt, ["k"], ckpt)
+    final = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert final[1] == "a" and final[3] == "c"
+    assert final[2] in ("b", "b2")  # file order decides which batch won
+    assert len(final) == 3
