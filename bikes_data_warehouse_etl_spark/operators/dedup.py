@@ -187,29 +187,45 @@ def ngram_jaccard_pairs(
     string — an 8-byte shuffle key instead of a ~20-40 byte one (both
     engines hash identically, so even a collision yields the same
     result on both sides).
-    """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias(
-            "sh_str"
-        ),
-    ).select("id", hash64("sh_str").alias("sh"))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
+    Plan shape: the exploded+hashed frame is built ONCE — per-doc
+    shingle counts ride along via a window, and the self-join is
+    hinted sort-merge so the two sides' shuffles canonicalize to the
+    same exchange (ReusedExchange). The naive formulation (separate
+    size aggregate + broadcast self-join) evaluates the
+    explode+md5 pipeline four times — measured ~2x slower at sf0.1 and
+    broadcasts a million-row side at scale.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias(
+                "sh_str"
+            ),
+        )
+        .select("id", hash64("sh_str").alias("sh"))
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+
+    a = sh.select(F.col("id").alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col("id").alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
     common = (
-        a.join(b, "sh")
+        a.hint("merge")
+        .join(b.hint("merge"), "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
     )
     if candidates is not None:
-        common = common.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        common = common.join(
+            candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+        )
     out = (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard_bp",
             F.floor(
                 F.col("common") * 10000 / (F.col("n_a") + F.col("n_b") - F.col("common"))
