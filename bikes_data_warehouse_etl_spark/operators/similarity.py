@@ -83,6 +83,79 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF list assignment: each vector labeled with the id of its
+    nearest centroid (max cosine, ties → lowest centroid id).
+
+    ``centroids`` is a small driver-side list (id, vector) — broadcast
+    implicitly as literals. Assignment is a per-row argmax over
+    ``len(centroids)`` codegen'd cosine expressions: one scan, no
+    shuffle. At 100 TB, write the table ``partitionBy('centroid_id')``
+    once and every probe becomes partition pruning.
+    """
+    sims = F.array(
+        *[cosine(F.col(vec_col), _query_lit(vec)) for _, vec in centroids]
+    )
+    # argmax with lowest-index tie-break: array_position finds the first max
+    best_idx = F.array_position(sims, F.array_max(sims)).cast("int")
+    cid = F.element_at(
+        F.array(*[F.lit(cid) for cid, _ in centroids]), best_idx
+    )
+    return df.withColumn("centroid_id", cid)
+
+
+def ivf_centroids_from_seed_rows(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the first ``n_centroids``
+    vectors by id serve as centroids (a k-means init without the
+    iterations — swap in trained centroids at will; the assign/probe
+    machinery is identical)."""
+    rows = (
+        df.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    )
+    return [(int(r[id_col]), list(r[vec_col])) for r in rows]
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF search: rank centroids against the query driver-side, scan
+    only the ``n_probe`` nearest inverted lists, exact-rank inside.
+
+    With ``n_probe == len(centroids)`` this degrades gracefully to
+    exact brute force (tested); smaller n_probe trades recall for a
+    1/len(centroids)-scale scan.
+    """
+
+    def cos(a: Sequence[float], b: Sequence[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return d / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    ranked = sorted(centroids, key=lambda c: (-cos(c[1], query_vec), c[0]))
+    probe_ids = [cid for cid, _ in ranked[:n_probe]]
+
+    assigned = ivf_assign(df, centroids, vec_col)
+    candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    return brute_force_topk(candidates, query_vec, k, vec_col, id_col, round_dp)
+
+
 def knn_join_bucketed(
     df: DataFrame,
     n_bits: int = 8,

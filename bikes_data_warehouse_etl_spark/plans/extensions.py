@@ -367,6 +367,55 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_bucketed(emb, n_bits=12, min_cos_bp=3000)
 
 
+@_q(
+    "ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16
+    ),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    -- rank centroids against the query; probe the 4 nearest lists
+    probe AS (
+      SELECT cid FROM (
+        SELECT e.cid, {_SQL_COS.replace('e.embedding', 'e.embedding').replace('q.embedding', 'q.embedding')} AS cos_c,
+               ROW_NUMBER() OVER (ORDER BY {_SQL_COS} DESC, e.cid ASC) AS rnk
+        FROM cents e, qv q
+      ) WHERE rnk <= 4
+    ),
+    -- assign every vector to its nearest centroid (ties -> lowest cid)
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, q.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_SQL_COS.replace('q.embedding', 'q.cemb')} DESC, q.cid ASC) AS rnk
+        FROM embeddings e, (SELECT cid, embedding AS cemb FROM cents) q
+        WHERE e.vec_id <> 0
+      ) WHERE rnk = 1
+    )
+    SELECT e.vec_id, round({_SQL_COS}, 6) AS cos_sim
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    JOIN probe p ON p.cid = a.cid, qv q
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: 16 deterministic coarse
+    centroids, probe the 4 nearest inverted lists, exact-rank inside —
+    the scale path where assignment is written once
+    (partitionBy centroid_id) and probes become partition pruning."""
+    from bikes_data_warehouse_etl_spark.operators.similarity import (
+        ivf_centroids_from_seed_rows,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = ivf_centroids_from_seed_rows(emb, 16)
+    qv = _query_vec(spark, sf_dir)
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), centroids, qv, k=10, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # Event analytics (batch twins of the streaming pipeline)
 # ---------------------------------------------------------------------------

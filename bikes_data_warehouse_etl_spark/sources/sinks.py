@@ -1,0 +1,54 @@
+"""Sink layer: partitioned / bucketed table writes (SURVEY §2.1
+S4/S6-S8 generalized to the layouts that matter at 100 TB).
+
+* ``write_partitioned`` — hive-style directory partitioning; readers
+  filtering on the partition columns scan only matching directories
+  (PartitionFilters in the plan, verified by tests). The Spark analog
+  of the reference's daily-refresh cycle is facts partitioned by
+  year/date.
+* ``write_bucketed`` — catalog table bucketed+sorted by join key: two
+  bucketed tables with matching bucket counts join with NO shuffle on
+  either side (the co-located join the reference's single-node SQL
+  Server gets implicitly).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    (
+        df.write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_partition_pruned(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """Plain read; apply partition-column filters on the result and
+    Spark prunes directories before listing files."""
+    return spark.read.parquet(path)

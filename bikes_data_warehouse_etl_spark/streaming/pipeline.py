@@ -99,6 +99,70 @@ def run_windowed_counts_to_memory(
     q.awaitTermination()
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (event count, value-cents total) maintained across
+    micro-batches — the extension point for operators Spark's built-in
+    streaming aggregations can't express (per-key custom state
+    machines, CEP-ish logic).
+
+    State is one row per user (two longs) — flat in users, independent
+    of stream length. Emits the updated totals for every user seen in
+    the current micro-batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("value_cents", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType(), False),
+            StructField("cents", LongType(), False),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(round(pdf["value"].fillna(0.0) * 100).sum())
+        state.update((n, cents))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_user_totals_to_memory(
+    spark: SparkSession, events_dir: str, table: str = "user_totals"
+) -> None:
+    """Drain the stateful per-user totals over all available files into
+    a memory sink (update mode; last row per user = final state)."""
+    q = (
+        running_user_totals(stream_events(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_scd1_stream(
     spark: SparkSession,
     source_dir: str,

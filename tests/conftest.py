@@ -12,14 +12,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     # fewer local threads + shuffle partitions → faster test startup;
     # semantics are identical to the scale configuration
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
     from bikes_data_warehouse_etl_spark.session import get_spark
 
-    s = get_spark("tests")
+    s = get_spark(
+        "tests",
+        extra_conf={
+            "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("spark_wh"))
+        },
+    )
     yield s
 
 

@@ -1,0 +1,105 @@
+"""Partitioned/bucketed sinks (pruning + shuffle-free joins), IVF
+recall behavior, and the stateful streaming operator."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bikes_data_warehouse_etl_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_centroids_from_seed_rows,
+    ivf_topk,
+)
+from bikes_data_warehouse_etl_spark.sources.sinks import (
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_part")
+    write_partitioned(orders, path, ["o_year"])
+
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_year" in plan or "o_year" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    expected = orders.filter(F.col("o_year") == 1997).count()
+    assert back.count() == expected
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, mode="overwrite")
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        8,
+        mode="overwrite",
+    )
+    j = spark.table("b_lineitem").join(spark.table("b_orders"), "o_orderkey")
+    # co-bucketed sort-merge join: no shuffle exchange on either side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert j.count() == li.count()  # every line item has its order
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = ivf_centroids_from_seed_rows(emb, 16)
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    candidates = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in brute_force_topk(candidates, qv, k=10).collect()]
+    full_probe = [
+        r["vec_id"]
+        for r in ivf_topk(candidates, centroids, qv, k=10, n_probe=16).collect()
+    ]
+    assert full_probe == exact
+    # partial probe returns k rows drawn only from probed lists
+    partial = ivf_topk(candidates, centroids, qv, k=10, n_probe=4).collect()
+    assert len(partial) == 10
+    recall = len({r["vec_id"] for r in partial} & set(exact)) / 10
+    assert recall >= 0.2  # conservative bound for random 64-d vectors
+
+
+def test_stateful_user_totals_match_batch(spark, sf_dir, tmp_path):
+    import os
+    import shutil
+
+    from bikes_data_warehouse_etl_spark.streaming.pipeline import (
+        run_user_totals_to_memory,
+    )
+
+    events_dir = str(tmp_path / "events_in")
+    os.makedirs(events_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir)
+    run_user_totals_to_memory(spark, events_dir, table="ut_test")
+
+    # update-mode memory sink: the final row per user is the total
+    final = {
+        r["user_id"]: (r["n_events"], r["value_cents"])
+        for r in spark.table("ut_test").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert final == batch
