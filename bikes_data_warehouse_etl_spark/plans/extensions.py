@@ -97,12 +97,19 @@ from bikes_data_warehouse_etl_spark.functions.text import STOPWORDS  # noqa: E40
 _SQL_STOP_EN = _sql_stop(STOPWORDS["en"])
 
 
+_SQL_BPE = (
+    "CAST(len(regexp_extract_all(lower(text), "
+    "'[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]+')) AS BIGINT)"
+)
+
+
 @_q(
     "text_metrics",
     f"""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
            {_SQL_NTOK} AS n_tokens,
+           {_SQL_BPE} AS n_bpe_tokens,
            {_SQL_PUNCT} AS punct_ratio,
            {_SQL_STOP_EN} AS stop_en,
            {_sql_hash64("array_to_string(list_sort(list_distinct(" + _SQL_TOKENS + ")), ' ')")} AS fp
@@ -110,14 +117,17 @@ _SQL_STOP_EN = _sql_stop(STOPWORDS["en"])
     """,
 )
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token/char statistics + order-insensitive
-    fingerprint — all row-local codegen'd expressions (one scan, zero
-    shuffles, zero UDFs)."""
+    """Per-document token/char statistics (whitespace + BPE-ish
+    sub-word estimate) + order-insensitive fingerprint — all row-local
+    codegen'd expressions (one scan, zero shuffles, zero UDFs)."""
+    from bikes_data_warehouse_etl_spark.functions.text import bpe_ish_token_count
+
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
         punct_ratio("text").alias("punct_ratio"),
         stopword_count("text", "en").alias("stop_en"),
         fingerprint("text").alias("fp"),
