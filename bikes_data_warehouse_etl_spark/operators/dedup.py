@@ -67,9 +67,11 @@ def minhash_mins(
     Docs with fewer than ``shingle_k`` tokens produce no rows.
     Returns (id, mh0..mh{n-1}).
     """
+    # distinct within doc: min over a multiset equals min over the set,
+    # so deduplicating shingles first just saves md5 calls
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_k)).alias("sh"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("sh"),
     )
     base = sh.select(
         "id", hash64("sh").bitwiseAND(F.lit(MINHASH_P)).alias("h")

@@ -76,12 +76,16 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 
 
 def _byte_histogram(payload: bytes, bins: int = 16) -> list[float]:
-    """Normalized byte-value histogram — the stand-in feature vector."""
-    counts = [0] * bins
-    for b in payload:
-        counts[b * bins // 256] += 1
-    n = max(len(payload), 1)
-    return [c / n for c in counts]
+    """Normalized byte-value histogram — the stand-in feature vector.
+    Vectorized (numpy bincount); a Python per-byte loop here dominated
+    the mapInPandas stage at sf0.1."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return [0.0] * bins
+    counts = np.bincount(arr >> 4, minlength=bins)[:bins]
+    return (counts / arr.size).tolist()
 
 
 def decode_media(media: DataFrame, batch_hint: int = 256) -> DataFrame:
