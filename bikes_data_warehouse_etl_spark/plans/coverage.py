@@ -210,6 +210,73 @@ def q_dq_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "top3_orders_per_cust",
+    """
+    SELECT cust_id, ordr_id, price_cents, rnk FROM (
+      SELECT o_custkey AS cust_id, o_orderkey AS ordr_id,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def q_top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window + filter: Spark pushes the
+    rnk<=3 limit into the window sort (WindowGroupLimit), so each
+    partition keeps a 3-row heap instead of fully sorting — the
+    grouped-top-k shape that scales."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_orderkey").alias("ordr_id"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@_q(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 3
+    """,
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: Levenshtein ≤3 name pairs, blocked by
+    nation so the self-join is bounded per block (the blocking-key
+    pattern entity resolution uses at scale; both engines implement
+    identical edit distance)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
 @_q("approx_distinct_parts", None)  # HLL sketches are engine-specific → rows-only
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct (HyperLogLog++): the constant-memory path

@@ -99,6 +99,42 @@ def run_windowed_counts_to_memory(
     q.awaitTermination()
 
 
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows: per-user sessions closed after ``gap``
+    of inactivity — the streaming twin of the batch
+    ``events_sessionize`` query (lag + running-sum decomposition).
+    State per open session merges as late events arrive; the watermark
+    finalizes and evicts closed sessions.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").cast("long").alias("start_es"),
+            F.unix_timestamp("w.end").cast("long").alias("end_es"),
+            "n_events",
+        )
+    )
+
+
+def run_session_windows_to_memory(
+    spark: SparkSession, events_dir: str, table: str = "session_counts"
+) -> None:
+    q = (
+        session_window_counts(stream_events(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a
     per-user running (event count, value-cents total) maintained across
