@@ -1,0 +1,75 @@
+"""Skew mitigation: salted joins (SURVEY §4 / 100 TB notes).
+
+AQE's skew-join splitting handles most cases at runtime
+(``spark.sql.adaptive.skewJoin.enabled`` is on in session.py); salting
+is the explicit fallback for pathological keys (one customer = 30% of
+the fact) or for engines/stages AQE can't rewrite (e.g. aggregations
+over a hot key).
+
+``salted_join``: the skewed (large) side gets a random-ish salt in
+[0, salt); the small side is exploded ``salt`` times so every salted
+key finds its match. Result is row-identical to the plain join (tested)
+— the shuffle key becomes (key, salt), spreading one hot key over
+``salt`` reducers.
+
+``two_phase_agg``: hot-key aggregation as partial-by-(key, salt) then
+final-by-key — same trick for groupBy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def _salt_col(keys: Sequence[str], salt: int):
+    """Deterministic pseudo-random salt derived from the whole row's
+    key + a per-row uuid-free spread: use hash of key and a
+    monotonically varying component (partition-local) — here
+    ``rand``-free via ``xxhash64`` over key + spark_partition_id and a
+    row-local counter stand-in (``monotonically_increasing_id`` is
+    acceptable for salting: it only needs spread, not determinism)."""
+    return (
+        F.xxhash64(*keys, F.monotonically_increasing_id()) % salt
+    ).cast("int")
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with the large side salted and the small side replicated
+    ``salt``x. Output columns = plain ``large.join(small, keys, how)``."""
+    key_list = list(keys)
+    salted_large = large.withColumn("__salt__", F.abs(_salt_col(key_list, salt)))
+    replicated_small = small.withColumn(
+        "__salt__", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted_large.join(
+        replicated_small, on=key_list + ["__salt__"], how=how
+    )
+    return out.drop("__salt__")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    salt: int = 8,
+) -> DataFrame:
+    """Hot-key sum aggregation in two phases: partial by (key, salt),
+    final by key. Identical results to a direct groupBy-sum (tested);
+    the first shuffle spreads a hot key across ``salt`` partitions."""
+    key_list = list(keys)
+    salted = df.withColumn("__salt__", F.abs(_salt_col(key_list, salt)))
+    partial = salted.groupBy(*key_list, "__salt__").agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+    return partial.groupBy(*key_list).agg(
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+    )

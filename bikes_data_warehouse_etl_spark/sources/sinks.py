@@ -52,3 +52,34 @@ def read_partition_pruned(
     """Plain read; apply partition-column filters on the result and
     Spark prunes directories before listing files."""
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    partition_cols: Sequence[str] | None = None,
+) -> None:
+    """Small-files compaction: rewrite a parquet table into
+    ``target_files`` files (per partition when ``partition_cols``).
+
+    Streaming/incremental appends accumulate small files; at 100 TB the
+    file-listing and per-file open costs dominate scans long before
+    data volume does. Run this as the maintenance pass (Delta's
+    OPTIMIZE equivalent). Staged write + atomic swap, like the merges.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    staged = path + "__compacting"
+    writer = (
+        df.repartition(target_files, *partition_cols)
+        if partition_cols
+        else df.repartition(target_files)
+    ).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staged)
+    shutil.rmtree(path)
+    os.replace(staged, path)
