@@ -199,6 +199,30 @@ def run_user_totals_to_memory(
     q.awaitTermination()
 
 
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: each event_id passes once; duplicate
+    replays within the watermark horizon are dropped and state for ids
+    older than the watermark is evicted (bounded memory — the streaming
+    face of the batch dedup family)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_streaming_dedup_to_memory(
+    spark: SparkSession, events_dir: str, table: str = "dedup_events"
+) -> None:
+    q = (
+        streaming_dedup(stream_events(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_scd1_stream(
     spark: SparkSession,
     source_dir: str,
