@@ -225,6 +225,53 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_mins(d, "text", "doc_id", 8, 3).withColumnRenamed("id", "doc_id")
 
 
+def _sql_lsh_candidates() -> str:
+    from bikes_data_warehouse_etl_spark.operators.dedup import MINHASH_P
+
+    union_bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{2*b} * {MINHASH_P} + mh{2*b+1} AS bucket FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH shingled AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_sql_minhash(0)} AS mh0, {_sql_minhash(1)} AS mh1,
+             {_sql_minhash(2)} AS mh2, {_sql_minhash(3)} AS mh3,
+             {_sql_minhash(4)} AS mh4, {_sql_minhash(5)} AS mh5,
+             {_sql_minhash(6)} AS mh6, {_sql_minhash(7)} AS mh7
+      FROM shingled WHERE len(sh) > 0
+    ),
+    banded AS ({union_bands}),
+    sized AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bucket_n FROM banded
+      ) WHERE bucket_n <= 50
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS band_matches
+    FROM sized a JOIN sized b ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """
+
+
+@_q("lsh_candidates", _sql_lsh_candidates())
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH candidate generation (shingle → signature →
+    band pairing → bucket join): docs agreeing on any of 4 two-hash
+    bands become candidate pairs, with a 50-doc bucket-size skew cap.
+    Feeds the exact-Jaccard verification stage (neardup_jaccard)."""
+    from bikes_data_warehouse_etl_spark.operators.dedup import minhash_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_candidates(d, n_hashes=8, bands=4, max_bucket=50).select(
+        "id_a", "id_b", F.col("band_matches").cast("long").alias("band_matches")
+    )
+
+
 @_q(
     "neardup_jaccard",
     f"""
