@@ -9,7 +9,7 @@ basis-point similarity, left-to-right double folds).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from bikes_data_warehouse_etl_spark.functions.text import (
@@ -223,6 +223,68 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return minhash_mins(d, "text", "doc_id", 8, 3).withColumnRenamed("id", "doc_id")
+
+
+@_q(
+    "winnowing_fps",
+    f"""
+    WITH norm AS (SELECT doc_id, {_SQL_NORM} AS s FROM documents),
+    kg AS (
+      SELECT doc_id, i, {_sql_hash64("substr(s, CAST(i AS INT), 8)")} AS h
+      FROM norm, unnest(generate_series(1, length(s) - 7)) AS t(i)
+      WHERE length(s) >= 8
+    ),
+    wins AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_kg
+      FROM kg
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, wmin FROM wins WHERE i <= n_kg - 3
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+           MIN(wmin) AS min_fp, MAX(wmin) AS max_fp
+    FROM fps GROUP BY doc_id
+    """,
+)
+def q_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints, Schleimer et al.:
+    the minimum hash of every 4-window over the char-8-gram hash
+    sequence, deduplicated. Computed explode-wise — one hash per k-gram,
+    window MIN over (doc, position) — linear in characters (the
+    array-expression form re-evaluates the normalize regex per element:
+    O(n^2) per doc, measured 30x slower). Summarized (count, min, max)
+    per doc."""
+    from bikes_data_warehouse_etl_spark.functions.text import hash64, normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    norm = d.select("doc_id", normalize_text("text").alias("s")).filter(
+        F.length("s") >= 8
+    )
+    kg = norm.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("s") - 7)).alias("i"),
+        "s",
+    ).select(
+        "doc_id", "i", hash64(F.col("s").substr(F.col("i"), F.lit(8))).alias("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    wins = kg.select(
+        "doc_id",
+        "i",
+        F.min("h").over(w.rowsBetween(0, 3)).alias("wmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_kg"),
+    )
+    fps = wins.filter(F.col("i") <= F.col("n_kg") - 3).select(
+        "doc_id", "wmin"
+    ).distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("wmin").alias("min_fp"),
+        F.max("wmin").alias("max_fp"),
+    )
 
 
 def _sql_lsh_candidates() -> str:
