@@ -277,6 +277,52 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "revenue_by_region_quarter",
+    """
+    SELECT r_name AS region,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS net_rev_cents
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, year(o_orderdate), quarter(o_orderdate)
+    """,
+)
+def q_revenue_by_region_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic star-schema reporting rollup: fact ⋈ 4 dimensions →
+    region×quarter revenue. One shuffle join (lineitem⋈orders); the
+    three dimension hops broadcast; discount-adjusted revenue in exact
+    integer cents per line item."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    net_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.count_distinct("o_orderkey").cast("long").alias("n_orders"),
+            F.sum(net_cents).alias("net_rev_cents"),
+        )
+    )
+
+
 @_q("approx_distinct_parts", None)  # HLL sketches are engine-specific → rows-only
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct (HyperLogLog++): the constant-memory path
