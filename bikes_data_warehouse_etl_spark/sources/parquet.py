@@ -31,17 +31,23 @@ TABLES = (
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS); Spark reads it
-    as nanosecond-precision only via the long fallback on some builds,
-    so we normalize: if the column arrives as ``bigint`` (nanos-as-long)
-    we convert to a microsecond timestamp. Queries that must hash-match
-    the DuckDB oracle truncate to whole seconds anyway.
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS); vanilla Spark
+    refuses that physical type (``PARQUET_TYPE_ILLEGAL``) unless the
+    runtime SQL conf ``spark.sql.legacy.parquet.nanosAsLong`` is set, so
+    we set it here — ``read_table`` must behave identically under ANY
+    SparkSession, not just :func:`session.get_spark`. The column then
+    arrives as ``bigint`` epoch-nanos and is normalized back to a
+    microsecond timestamp with exact integer division (epoch-ns values
+    ~1.7e18 exceed double's 53-bit mantissa, so ``/ 1000`` via double
+    would be off by ±1 µs near boundaries — use ``div``).
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

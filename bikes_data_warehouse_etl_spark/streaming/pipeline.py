@@ -51,9 +51,7 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(
