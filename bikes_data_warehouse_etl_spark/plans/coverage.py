@@ -323,14 +323,41 @@ def q_revenue_by_region_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("approx_distinct_parts", None)  # HLL sketches are engine-specific → rows-only
+@_q(
+    "approx_distinct_parts",
+    """
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           true AS within_5pct
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct (HyperLogLog++): the constant-memory path
-    for count-distinct at 100 TB. Sketch internals differ per engine,
-    so the driver records a rows-only check; the test suite bounds the
-    estimate against the exact count instead."""
+    for count-distinct at 100 TB. Sketch bits differ per engine, so the
+    cross-engine contract is a *bounded-error* formulation: emit the
+    exact count plus a boolean asserting the HLL estimate (rsd=0.02,
+    measured ≤1.1% error at sf0.001-0.1) landed within 5% — the oracle
+    emits the same exact count and literal ``true``. The estimate stays
+    fully exercised; a drifting HLL flips the boolean and fails the
+    hash."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
+            F.count_distinct("l_partkey").cast("long").alias("exact_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "flag",
+            "exact_parts",
+            "n_rows",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts")) * 100
+                <= F.col("exact_parts") * 5
+            ).alias("within_5pct"),
+        )
     )

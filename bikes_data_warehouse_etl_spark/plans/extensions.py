@@ -644,14 +644,31 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal (rows-only check: decode is a deterministic stub, the
-# Arrow/mapInPandas plumbing is the thing under test)
+# Multimodal: the decode stub is md5-arithmetic (operators/multimodal.py:69),
+# so the whole Arrow/mapInPandas path IS oracle-checkable — DuckDB recomputes
+# width/height/channels from md5 hex bytes and the bin-6 histogram count
+# (bytes 0x60-0x6F == chars `a-o; the corpus is pure ASCII so char == byte)
+# via regexp stripping. feat6_cnt is emitted as an exact integer
+# (count = round(normalized_bin * n_bytes)) so it hash-matches.
 # ---------------------------------------------------------------------------
-@_q("multimodal_features", None)
+@_q(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS width,
+           64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS height,
+           1 + ('0x' || substr(md5(text), 5, 2))::INT % 3 AS channels,
+           CAST(length(text) - length(regexp_replace(text, '[`a-o]', '', 'g'))
+                AS BIGINT) AS feat6_cnt
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode + feature extraction through mapInPandas
     (Arrow-batched). Documents stand in as opaque payloads; the decode
-    stub is deterministic (see operators/multimodal.py)."""
+    stub is deterministic md5 arithmetic (see operators/multimodal.py),
+    which is what makes the full Python-worker path oracle-verifiable."""
     from bikes_data_warehouse_etl_spark.operators.multimodal import (
         decode_media,
         documents_as_media,
@@ -665,5 +682,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         "channels",
-        F.round(F.element_at("features", 1), 6).alias("feat0"),
+        # features[7] (1-based) = normalized count of bytes with high nibble
+        # 6; un-normalize to the exact integer count for cross-engine hashing
+        F.round(F.element_at("features", 7) * F.col("n_bytes"))
+        .cast("long")
+        .alias("feat6_cnt"),
     )
