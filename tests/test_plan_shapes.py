@@ -52,3 +52,39 @@ def test_pushdown_reaches_scan(spark, sf_dir):
     # column pruning: the scan must not read all 11 lineitem columns
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_returnflag" not in read_schema and "l_tax" not in read_schema
+
+
+def test_revenue_rollup_customer_join_is_aqe_chosen(spark, sf_dir):
+    """customer must NOT be hint-broadcast (it scales with the fact
+    side); nation/region hints stay. The initial plan therefore keeps a
+    non-broadcast join for customer, and AQE may convert it at runtime."""
+    plan = _plan(spark, sf_dir, "revenue_by_region_quarter")
+    assert "AdaptiveSparkPlan" in plan
+    # hinted bounded dims still compile to broadcast joins
+    assert "BroadcastHashJoin" in plan
+    from pyspark.sql import functions as F  # noqa: F401
+    from bikes_data_warehouse_etl_spark.plans import QUERIES
+
+    logical = str(
+        QUERIES["revenue_by_region_quarter"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+    )
+    # exactly two residual broadcast hints (nation, region) — none on customer
+    assert logical.count("ResolvedHint") <= 2
+
+
+def test_fuzzy_pairs_blocking_key_multiplies_blocks(spark, sf_dir):
+    """Composite blocking key must yield >> 25 blocks (nation-only
+    capped parallelism at 25 tasks regardless of cluster size)."""
+    import pyspark.sql.functions as F
+    from bikes_data_warehouse_etl_spark.sources.parquet import read_table
+
+    c = read_table(spark, sf_dir, "customer")
+    n_blocks = (
+        c.select("c_nationkey", F.substring("c_name", 15, 2).alias("blk"))
+        .distinct()
+        .count()
+    )
+    assert n_blocks > 25
