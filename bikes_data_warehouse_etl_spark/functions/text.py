@@ -47,20 +47,42 @@ def tokens(col: Column | str) -> Column:
     return F.split(normalize_text(col), r"\s+")
 
 
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from an existing token-array column.
+
+    Built as a ``zip_with`` fold over ``k`` shifted ``slice``s of the
+    token array. The slices are *top-level* arguments — evaluated once
+    per row — never expressions inside a per-element lambda: the
+    previous ``transform(idx, i -> concat_ws(slice(toks, i, k)))``
+    formulation re-evaluated ``toks`` (the whole tokenize pipeline,
+    when inlined by CollapseProject) once per shingle — O(tokens²) per
+    document, measured 10x slower at sf0.1. The lambda itself uses
+    ``concat`` + space literal, not ``concat_ws`` (~4x faster under
+    interpreted higher-order-function eval; equivalent here because
+    split() tokens are never NULL).
+
+    In hot paths, materialize ``tokens(text)`` in its own projection
+    first and pass the column — referenced ≥3 times it survives
+    CollapseProject, so tokenization runs once per row instead of once
+    per slice.
+    """
+    n = F.size(toks)
+    m = n - (k - 1)
+    acc = F.slice(toks, 1, m)
+    for i in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(toks, 1 + i, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(n >= k, acc).otherwise(F.expr("array()").cast("array<string>"))
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """k-word shingles as array<string> (empty array if < k tokens).
 
-    Built entirely from ``sequence`` + ``transform`` + ``slice`` —
-    evaluated per-row inside codegen, no explode/shuffle needed.
-    """
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.expr("array()").cast("array<int>")
-    )
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
-    )
+    Convenience inline form — tokenization is re-evaluated once per
+    shifted slice (k+1 times per row). Linear, but in hot paths prefer
+    the two-step :func:`word_shingles_from_tokens`."""
+    return word_shingles_from_tokens(tokens(col), k)
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 8) -> Column:
@@ -104,9 +126,12 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
     return acc
 
 
-def token_count(col: Column | str) -> Column:
-    """Whitespace token count of the normalized text."""
-    t = tokens(col)
+def token_count(col: Column | str, toks: Column | None = None) -> Column:
+    """Whitespace token count of the normalized text.
+
+    Pass ``toks`` (a materialized ``tokens(col)`` column) in hot paths
+    to avoid re-tokenizing per expression."""
+    t = tokens(col) if toks is None else toks
     return F.when(F.size(t) == 1, F.when(t[0] == "", 0).otherwise(1)).otherwise(
         F.size(t)
     ).cast("long")
@@ -140,16 +165,18 @@ STOPWORDS = {
 }
 
 
-def stopword_count(col: Column | str, lang: str = "en") -> Column:
+def stopword_count(
+    col: Column | str, lang: str = "en", toks: Column | None = None
+) -> Column:
     """Number of tokens that are stopwords of ``lang``."""
     words = STOPWORDS[lang]
-    toks = tokens(col)
+    t = tokens(col) if toks is None else toks
     return F.size(
-        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words]))
+        F.filter(t, lambda x: x.isin(*[F.lit(w) for w in words]))
     ).cast("long")
 
 
-def lang_id_guess(col: Column | str) -> Column:
+def lang_id_guess(col: Column | str, toks: Column | None = None) -> Column:
     """N-gram/stopword language-ID heuristic over {en,es,de,fr,zh}.
 
     CJK character presence short-circuits to 'zh'; otherwise the
@@ -157,7 +184,7 @@ def lang_id_guess(col: Column | str) -> Column:
     fixed language order, 'und' when no list matches).
     """
     s = _c(col)
-    counts = {lang: stopword_count(s, lang) for lang in STOPWORDS}
+    counts = {lang: stopword_count(s, lang, toks) for lang in STOPWORDS}
     best = F.lit("und")
     best_n = F.lit(0).cast("long")
     for lang in ("en", "es", "de", "fr"):  # fixed priority order
@@ -169,22 +196,27 @@ def lang_id_guess(col: Column | str) -> Column:
     return F.when(has_cjk, "zh").otherwise(best)
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, toks: Column | None = None) -> Column:
     """Composite document-quality heuristic in [0,1], 4dp: rewards
     moderate length, low punctuation, presence of stopwords."""
     s = _c(col)
-    n_tok = token_count(s)
+    n_tok = token_count(s, toks)
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     punct_penalty = F.least(punct_ratio(s) * 4, F.lit(1.0))
-    stop_score = F.least(stopword_count(s) / F.lit(5.0), F.lit(1.0))
+    stop_score = F.least(stopword_count(s, "en", toks) / F.lit(5.0), F.lit(1.0))
     return F.round(
         0.5 * len_score + 0.3 * (1 - punct_penalty) + 0.2 * stop_score, 4
     )
 
 
-def fingerprint(col: Column | str) -> Column:
+def fingerprint(
+    col: Column | str, hash_fn=None, toks: Column | None = None
+) -> Column:
     """Order-insensitive document fingerprint: hash64 of the sorted
     distinct token set — robust to token reordering (rolling-hash-class
-    fingerprinting re-expressed set-wise so it is shuffle-free)."""
-    toks = F.array_sort(F.array_distinct(tokens(col)))
-    return hash64(F.concat_ws(" ", toks))
+    fingerprinting re-expressed set-wise so it is shuffle-free).
+
+    ``hash_fn`` defaults to the portable md5-prefix :func:`hash64`;
+    pass :func:`hash64_fast` on the production path."""
+    t = tokens(col) if toks is None else toks
+    return (hash_fn or hash64)(F.concat_ws(" ", F.array_sort(F.array_distinct(t))))

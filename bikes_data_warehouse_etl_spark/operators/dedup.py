@@ -28,8 +28,30 @@ import pyspark.sql.functions as F
 from bikes_data_warehouse_etl_spark.functions.text import (
     fingerprint,
     hash64,
-    word_shingles,
+    hash64_fast,
+    tokens,
+    word_shingles_from_tokens,
 )
+
+__all__ = [
+    "minhash_coeffs",
+    "minhash_mins",
+    "exact_dedup",
+    "fingerprint_dedup",
+    "minhash_candidates",
+    "lsh_dropped_buckets",
+    "ngram_jaccard_pairs",
+    "simhash_groups",
+]
+
+# Every operator in this family takes ``hash_fn``: ``hash64`` (md5-prefix,
+# bit-for-bit reproducible in DuckDB → used wherever an oracle must match)
+# or ``hash64_fast`` (xxhash64, one JVM pass, no hex round-trip → the
+# production path at scale). Outputs that only COUNT hashed elements
+# (exact-Jaccard pairs) are hash_fn-invariant; outputs that EMIT hash
+# values (minhash signatures, LSH buckets, fingerprints) change value but
+# keep identical statistical behavior — tests/test_text_dedup.py pins the
+# self-consistency of the two paths.
 
 # Universal-hash family over the 31-bit base hash: h_j = (A_j·h + B_j) mod P.
 # All arithmetic stays under 2^62, so it is overflow-free and portable to
@@ -47,12 +69,34 @@ def minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
+def _exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, sh): one row per distinct shingle per doc. Tokenization is
+    materialized in its own projection first (referenced k+1 times by
+    the shifted slices, it survives CollapseProject) so the tokenize
+    regexes run once per row, not once per slice — measured 10x on the
+    signature stage at sf0.1."""
+    tokd = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks__")
+    )
+    return tokd.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                word_shingles_from_tokens(F.col("__toks__"), shingle_k)
+            )
+        ).alias("sh"),
+    )
+
+
 def minhash_mins(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 8,
     shingle_k: int = 3,
+    hash_fn=hash64,
 ) -> DataFrame:
     """MinHash signatures via explode + partial-aggregate min.
 
@@ -69,12 +113,9 @@ def minhash_mins(
     """
     # distinct within doc: min over a multiset equals min over the set,
     # so deduplicating shingles first just saves md5 calls
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("sh"),
-    )
+    sh = _exploded_shingles(df, text_col, id_col, shingle_k)
     base = sh.select(
-        "id", hash64("sh").bitwiseAND(F.lit(MINHASH_P)).alias("h")
+        "id", hash_fn("sh").bitwiseAND(F.lit(MINHASH_P)).alias("h")
     )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
@@ -84,21 +125,32 @@ def minhash_mins(
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_fn=hash64
 ) -> DataFrame:
-    """Keep the lowest id per exact content; adds ``dup_cnt``."""
-    return df.groupBy(text_col).agg(
-        F.min(id_col).alias(f"keep_{id_col}"),
-        F.count(F.lit(1)).alias("dup_cnt"),
+    """Keep the lowest id per exact content; adds ``dup_cnt``.
+
+    Groups by a 64-bit content hash, NOT the raw text — the shuffle key
+    is 8 bytes regardless of document size (shuffling full bodies is
+    the classic 100 TB dedup mistake). A hash collision merges distinct
+    documents; at 60-bit width that is ~n²/2⁶¹ expected collisions —
+    carry ``min(text)`` downstream if exact verification is required.
+    Returns (content_hash, keep_<id>, dup_cnt)."""
+    return (
+        df.select(id_col, hash_fn(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(f"keep_{id_col}"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
     )
 
 
 def fingerprint_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_fn=hash64
 ) -> DataFrame:
     """Group by order-insensitive token-set fingerprint."""
     return (
-        df.select(id_col, fingerprint(text_col).alias("fp"))
+        df.select(id_col, fingerprint(text_col, hash_fn).alias("fp"))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias(f"keep_{id_col}"),
@@ -107,38 +159,31 @@ def fingerprint_dedup(
     )
 
 
-def minhash_candidates(
+def _banded_buckets(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_hashes: int = 8,
-    bands: int = 4,
-    shingle_k: int = 3,
-    max_bucket: int = 50,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_k: int,
+    hash_fn,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash LSH.
-
-    ``n_hashes`` minhashes split into ``bands`` bands of ``n_hashes /
-    bands`` rows each; docs sharing any band hash become a candidate
-    pair. Returns (id_a, id_b, band_matches) with id_a < id_b.
-
-    ``max_bucket`` drops degenerate buckets (empty/boilerplate docs
-    colliding en masse) — at scale this is the skew guard; log what was
-    dropped if coverage accounting matters.
-    """
+    """(id, band, bucket, bucket_n): one row per doc×band with the
+    band's bucket id and the bucket's population — the shared stage of
+    candidate generation and drop accounting."""
     rows_per_band = n_hashes // bands
-    sig = minhash_mins(df, text_col, id_col, n_hashes, shingle_k)
+    sig = minhash_mins(df, text_col, id_col, n_hashes, shingle_k, hash_fn)
 
     # band bucket id: pair the band's minhashes injectively
     # (each mh < P, so mh_a·P + mh_b … fits comfortably in int64 for
-    # rows_per_band ≤ 2; longer bands fold through hash64)
+    # rows_per_band ≤ 2; longer bands fold through the content hash)
     def band_bucket(b: int):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         if rows_per_band == 1:
             return cols[0]
         if rows_per_band == 2:
             return cols[0] * F.lit(MINHASH_P) + cols[1]
-        return hash64(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        return hash_fn(F.concat_ws(",", *[c.cast("string") for c in cols]))
 
     banded = sig.select(
         "id",
@@ -153,10 +198,33 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-
-    # skew guard: cap bucket size
-    sized = banded.withColumn(
+    return banded.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 50,
+    hash_fn=hash64,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    ``n_hashes`` minhashes split into ``bands`` bands of ``n_hashes /
+    bands`` rows each; docs sharing any band hash become a candidate
+    pair. Returns (id_a, id_b, band_matches) with id_a < id_b.
+
+    ``max_bucket`` drops degenerate buckets (empty/boilerplate docs
+    colliding en masse) — at scale this is the skew guard. Coverage
+    accounting for the drops lives in :func:`lsh_dropped_buckets`
+    (same banded stage, so the two compose into one job)."""
+    sized = _banded_buckets(
+        df, text_col, id_col, n_hashes, bands, shingle_k, hash_fn
     ).filter(F.col("bucket_n") <= max_bucket)
 
     a = sized.select("band", "bucket", F.col("id").alias("id_a"))
@@ -169,6 +237,32 @@ def minhash_candidates(
     )
 
 
+def lsh_dropped_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 50,
+    hash_fn=hash64,
+) -> DataFrame:
+    """Accounting for the skew-cap drops of :func:`minhash_candidates`:
+    one row ``(n_buckets_dropped, n_docs_affected)``.
+
+    Silent truncation reads as "covered everything" when it didn't —
+    run this alongside candidate generation and log/alert on the
+    counts. ``n_docs_affected`` counts distinct docs that lost at least
+    one band (they may still pair through their other bands)."""
+    over = _banded_buckets(
+        df, text_col, id_col, n_hashes, bands, shingle_k, hash_fn
+    ).filter(F.col("bucket_n") > max_bucket)
+    return over.agg(
+        F.count_distinct("band", "bucket").alias("n_buckets_dropped"),
+        F.count_distinct("id").alias("n_docs_affected"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -176,6 +270,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.2,
     candidates: DataFrame | None = None,
+    hash_fn=hash64,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
     (or restricted to ``candidates`` (id_a, id_b) when given — the
@@ -199,13 +294,8 @@ def ngram_jaccard_pairs(
     broadcasts a million-row side at scale.
     """
     sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias(
-                "sh_str"
-            ),
-        )
-        .select("id", hash64("sh_str").alias("sh"))
+        _exploded_shingles(df, text_col, id_col, shingle_k)
+        .select("id", hash_fn("sh").alias("sh"))
         .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
 
@@ -239,7 +329,11 @@ def ngram_jaccard_pairs(
 
 
 def simhash_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    hash_fn=hash64,
 ) -> DataFrame:
     """SimHash signatures; identical signatures = near-dup group.
 
@@ -252,11 +346,11 @@ def simhash_groups(
     Members as a CSV string (portable across result transports that
     mangle array columns).
     """
-    from bikes_data_warehouse_etl_spark.functions.text import hash64, tokens
+    from bikes_data_warehouse_etl_spark.functions.text import tokens
 
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
-    ).select("id", hash64("t").alias("h"))
+    ).select("id", hash_fn("t").alias("h"))
     contribs = tok.groupBy("id").agg(
         *[
             F.sum(

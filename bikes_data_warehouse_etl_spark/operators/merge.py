@@ -116,9 +116,20 @@ def scd2_merge(
     reference's ``PID Identity(1,1)``, Createtables_BIKES.sql:74); new
     version rows are numbered ``max(existing) + row_number over keys``
     — deterministic under any partitioning, unlike
-    ``monotonically_increasing_id`` (SURVEY §7.4.5).
+    ``monotonically_increasing_id`` (SURVEY §7.4.5). The numbering is
+    computed range-partitioned (see ``_sequential_ids``), so there is no
+    single-task global window even when a batch's new rows are huge.
+
+    Source batches may carry several rows per business key (the ODS
+    load deduplicates full rows, not keys): exactly one row per key is
+    merged, chosen deterministically — greatest ``compare_cols`` tuple
+    wins (documented precedence; swap in a recency column upstream for
+    time-ordered batches). Without this, each duplicate would emit its
+    own current row and silently break the one-current-per-key
+    invariant.
     """
     key_list = list(keys)
+    src = _latest_per_key(src, key_list, compare_cols)
     current = tgt.filter(F.col(current_col) == 1)
     history = tgt.filter(F.col(current_col) != 1)
 
@@ -151,19 +162,16 @@ def scd2_merge(
         .withColumn(exp_col, F.lit(high_ts).cast("timestamp"))
     )
     if surrogate is not None:
-        from pyspark.sql.window import Window
-
         max_sk = tgt.agg(
             F.coalesce(F.max(surrogate), F.lit(0)).cast("long").alias("__max_sk__")
         )
-        w = Window.orderBy(*key_list)
         new_rows = (
-            new_rows.crossJoin(F.broadcast(max_sk))
+            _sequential_ids(new_rows, key_list, "__seq__")
+            .crossJoin(F.broadcast(max_sk))
             .withColumn(
-                surrogate,
-                (F.col("__max_sk__") + F.row_number().over(w)).cast("long"),
+                surrogate, (F.col("__max_sk__") + F.col("__seq__")).cast("long")
             )
-            .drop("__max_sk__")
+            .drop("__max_sk__", "__seq__")
         )
 
     cols = [c for c in tgt.columns]
@@ -172,4 +180,69 @@ def scd2_merge(
         .unionByName(unchanged_current.select(*cols))
         .unionByName(expired.select(*cols))
         .unionByName(new_rows.select(*cols))
+    )
+
+
+def _latest_per_key(
+    src: DataFrame, keys: Sequence[str], compare_cols: Sequence[str]
+) -> DataFrame:
+    """Exactly one source row per business key, deterministically:
+    greatest ``compare_cols`` tuple wins (descending, nulls last).
+    A keys-partitioned window — high-cardinality partitioning, no
+    skew concern beyond pathological key duplication."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(c).desc_nulls_last() for c in compare_cols] or [F.lit(1)]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        src.withColumn("__pick__", F.row_number().over(w))
+        .filter(F.col("__pick__") == 1)
+        .drop("__pick__")
+    )
+
+
+def _sequential_ids(
+    df: DataFrame, order_keys: Sequence[str], out_col: str, partitions: int = 64
+) -> DataFrame:
+    """Dense 1..N numbering by global ``order_keys`` order WITHOUT an
+    unpartitioned window (a ``Window.orderBy`` with no partitionBy
+    funnels every row through one task — fine for dim-sized batches,
+    a bottleneck when a batch's new rows are huge).
+
+    Range-partition on the keys, number within each partition, then add
+    per-partition offsets (cumulative counts over ≤``partitions`` rows,
+    broadcast back). Because range partitions are themselves ordered,
+    the result is bit-identical to the single-window formulation —
+    deterministic for unique keys under any cluster layout.
+    """
+    from pyspark.sql.window import Window
+
+    ranged = (
+        df.repartitionByRange(partitions, *order_keys)
+        .withColumn("__pid__", F.spark_partition_id())
+        .withColumn(
+            "__rn__",
+            F.row_number().over(Window.partitionBy("__pid__").orderBy(*order_keys)),
+        )
+    )
+    offsets = (
+        ranged.groupBy("__pid__")
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+        .withColumn(
+            "__off__",
+            F.coalesce(
+                F.sum("__cnt__").over(
+                    Window.orderBy("__pid__").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid__", "__off__")
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "__pid__")
+        .withColumn(out_col, (F.col("__off__") + F.col("__rn__")).cast("long"))
+        .drop("__pid__", "__rn__", "__off__")
     )

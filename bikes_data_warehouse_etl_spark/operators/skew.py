@@ -44,7 +44,18 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join with the large side salted and the small side replicated
-    ``salt``x. Output columns = plain ``large.join(small, keys, how)``."""
+    ``salt``x. Output columns = plain ``large.join(small, keys, how)``.
+
+    Only ``inner`` and ``left`` (outer on the *large* side) are
+    supported: the small side is replicated ``salt`` times, so a
+    right/full outer join would emit every unmatched small-side row
+    ``salt`` times — silently wrong, hence rejected."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the replicated small side would duplicate unmatched rows "
+            "under right/full outer joins"
+        )
     key_list = list(keys)
     salted_large = large.withColumn("__salt__", F.abs(_salt_col(key_list, salt)))
     replicated_small = small.withColumn(

@@ -20,7 +20,6 @@ from bikes_data_warehouse_etl_spark.functions.text import (
     simhash,
     stopword_count,
     token_count,
-    word_shingles,
 )
 from bikes_data_warehouse_etl_spark.operators.dedup import (
     fingerprint_dedup,
@@ -119,18 +118,25 @@ _SQL_BPE = (
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/char statistics (whitespace + BPE-ish
     sub-word estimate) + order-insensitive fingerprint — all row-local
-    codegen'd expressions (one scan, zero shuffles, zero UDFs)."""
-    from bikes_data_warehouse_etl_spark.functions.text import bpe_ish_token_count
+    expressions (one scan, zero shuffles, zero UDFs). Tokenization is
+    materialized once per row in its own projection and shared by the
+    three token-consuming metrics."""
+    from bikes_data_warehouse_etl_spark.functions.text import (
+        bpe_ish_token_count,
+        tokens,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    tokd = d.select("doc_id", "text", tokens("text").alias("__toks__"))
+    t = F.col("__toks__")
+    return tokd.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
-        token_count("text").alias("n_tokens"),
+        token_count("text", t).alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_bpe_tokens"),
         punct_ratio("text").alias("punct_ratio"),
-        stopword_count("text", "en").alias("stop_en"),
-        fingerprint("text").alias("fp"),
+        stopword_count("text", "en", t).alias("stop_en"),
+        fingerprint("text", toks=t).alias("fp"),
     )
 
 
@@ -168,12 +174,17 @@ _SQL_LANG = (
 def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword votes + CJK short-circuit) and a
     composite quality score — the filter stage of a pretraining data
-    pipeline."""
+    pipeline. One shared tokenization per row feeds all six
+    token-consuming sub-expressions."""
+    from bikes_data_warehouse_etl_spark.functions.text import tokens
+
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    tokd = d.select("doc_id", "text", tokens("text").alias("__toks__"))
+    t = F.col("__toks__")
+    return tokd.select(
         "doc_id",
-        lang_id_guess("text").alias("lang_guess"),
-        quality_score("text").alias("quality"),
+        lang_id_guess("text", t).alias("lang_guess"),
+        quality_score("text", t).alias("quality"),
     )
 
 
@@ -334,9 +345,7 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "neardup_jaccard",
-    f"""
+_SQL_NEARDUP = f"""
     WITH sh_str AS (
       SELECT doc_id AS id, unnest(list_distinct({_SQL_SHINGLES})) AS s
       FROM documents
@@ -355,8 +364,10 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.id = id_a
     JOIN sizes sb ON sb.id = id_b
     WHERE FLOOR(common * 10000 / (sa.n_sh + sb.n_sh - common)) >= 2000
-    """,
-)
+    """
+
+
+@_q("neardup_jaccard", _SQL_NEARDUP)
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (≥ 0.2), integer basis
     points. The explode+self-join is the verification stage of the LSH
@@ -364,6 +375,37 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.2
     )
+
+
+@_q("neardup_jaccard_fast", _SQL_NEARDUP)
+def q_neardup_jaccard_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash twin of ``neardup_jaccard``: shingles hashed with
+    native ``xxhash64`` (one JVM pass) instead of the md5-prefix
+    portable hash. Jaccard counts are invariant under any injective
+    per-shingle hash, so the SAME DuckDB oracle must hash-match — the
+    oracle check doubles as a collision/self-consistency proof, and the
+    bench delta vs ``neardup_jaccard`` isolates the hash cost."""
+    from bikes_data_warehouse_etl_spark.functions.text import hash64_fast
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, hash_fn=hash64_fast
+    )
+
+
+@_q("lsh_candidates_fast", None)  # xxhash64 has no DuckDB twin → rows-only
+def q_lsh_candidates_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash twin of ``lsh_candidates`` (signatures + banding
+    under ``xxhash64``). Minhash values — hence buckets and candidate
+    pairs — depend on the hash family, so no cross-engine oracle exists;
+    tests/test_text_dedup.py pins self-consistency instead (the fast
+    path must recover the corpus's verified high-Jaccard pairs)."""
+    from bikes_data_warehouse_etl_spark.functions.text import hash64_fast
+    from bikes_data_warehouse_etl_spark.operators.dedup import minhash_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_candidates(
+        d, n_hashes=8, bands=4, max_bucket=50, hash_fn=hash64_fast
+    ).select("id_a", "id_b", F.col("band_matches").cast("long").alias("band_matches"))
 
 
 @_q(

@@ -471,24 +471,28 @@ def q_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "dedup_exact",
     """
-    SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+    SELECT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
            CAST(COUNT(*) AS BIGINT) AS dup_cnt
     FROM documents
-    GROUP BY text
+    GROUP BY 1
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content: hash-groupBy keeping the lowest doc_id —
     the scalable form of the reference's dropDuplicates (A5, ref :26).
 
-    Scale: one shuffle on a 64-bit content hash would suffice at 100 TB
-    (group by xxhash64(text) instead of the full text to bound shuffle
-    width); here the full text is the key so the oracle can mirror it.
+    The shuffle key is the 60-bit portable content hash, not the text —
+    8 bytes per row regardless of document size (the oracle mirrors the
+    md5-prefix hash exactly; production passes ``hash_fn=hash64_fast``).
     """
+    from bikes_data_warehouse_etl_spark.operators.dedup import exact_dedup
+
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
-        F.min("doc_id").cast("long").alias("keep_doc_id"),
-        F.count(F.lit(1)).alias("dup_cnt"),
+    return exact_dedup(d, "text", "doc_id").select(
+        "content_hash",
+        F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+        "dup_cnt",
     )
 
 

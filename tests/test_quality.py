@@ -62,10 +62,7 @@ def test_bikes_ods_invariants(spark, tmp_path_factory):
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     from bikes_data_warehouse_etl_spark.plans import QUERIES
 
-    approx = {
-        r["flag"]: r["approx_parts"]
-        for r in QUERIES["approx_distinct_parts"].spark(spark, sf_dir).collect()
-    }
+    rows = QUERIES["approx_distinct_parts"].spark(spark, sf_dir).collect()
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     exact = {
         r["l_returnflag"]: r["n"]
@@ -73,5 +70,9 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         .agg(F.count_distinct("l_partkey").alias("n"))
         .collect()
     }
-    for flag, est in approx.items():
-        assert abs(est - exact[flag]) / exact[flag] < 0.1
+    assert len(rows) == len(exact)
+    for r in rows:
+        # the query's own bounded-error contract must hold, and its
+        # exact side must agree with an independently computed exact
+        assert r["within_5pct"] is True
+        assert r["exact_parts"] == exact[r["flag"]]

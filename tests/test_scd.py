@@ -115,3 +115,68 @@ def test_scd2_idempotent_on_rerun(spark):
     src = spark.createDataFrame([("A", 100)], "k string, price long")
     out = scd2_merge(tgt, src, ["k"], ["price"], run_ts="2022-06-01 00:00:00")
     assert sorted(out.collect()) == sorted(tgt.collect())
+
+
+def test_scd2_duplicate_key_source_keeps_one_current(spark):
+    """A source batch with two rows for the same business key must
+    produce exactly one new current row (greatest compare tuple wins)."""
+    from bikes_data_warehouse_etl_spark.operators.merge import scd2_merge
+
+    tgt = spark.createDataFrame(
+        [(1, "old", 1, "2001-01-01 00:00:00", "9999-12-31 00:00:00")],
+        "k long, attr string, current_flag long, effective_timestamp string, expire_timestamp string",
+    ).selectExpr(
+        "k",
+        "attr",
+        "current_flag",
+        "cast(effective_timestamp as timestamp) effective_timestamp",
+        "cast(expire_timestamp as timestamp) expire_timestamp",
+    )
+    src = spark.createDataFrame(
+        [(1, "newer"), (1, "newest"), (2, "brand")], "k long, attr string"
+    )
+    out = scd2_merge(tgt, src, ["k"], ["attr"], run_ts="2002-01-01 00:00:00")
+    cur = {r["k"]: r["attr"] for r in out.filter("current_flag = 1").collect()}
+    # exactly one current row per key; 'newest' > 'newer' lexicographically
+    assert cur == {1: "newest", 2: "brand"}
+    per_key = (
+        out.filter("current_flag = 1").groupBy("k").count().select("count").collect()
+    )
+    assert all(r["count"] == 1 for r in per_key)
+
+
+def test_sequential_ids_match_global_window(spark):
+    """Range-partitioned numbering must be bit-identical to the
+    unpartitioned Window.orderBy formulation."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+    from bikes_data_warehouse_etl_spark.operators.merge import _sequential_ids
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 2654435761 % 1_000_003).alias("k")
+    ).distinct()
+    got = {r["k"]: r["seq"] for r in _sequential_ids(df, ["k"], "seq", 16).collect()}
+    want = {
+        r["k"]: r["seq"]
+        for r in df.withColumn("seq", F.row_number().over(Window.orderBy("k")))
+        .collect()
+    }
+    assert got == want
+
+
+def test_sequential_ids_no_single_partition_exchange(spark):
+    """The surrogate path must not contain an Exchange SinglePartition
+    feeding the numbering window."""
+    import pyspark.sql.functions as F
+    from bikes_data_warehouse_etl_spark.operators.merge import _sequential_ids
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    plan = (
+        _sequential_ids(df, ["k"], "seq")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only SinglePartition allowed is the <=64-row offsets side
+    lines = [ln for ln in plan.splitlines() if "Exchange SinglePartition" in ln]
+    assert len(lines) <= 1

@@ -49,3 +49,14 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     n_after = len(glob.glob(f"{path}/*.parquet"))
     assert n_after == 2
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == rows_before
+
+
+def test_salted_join_rejects_outer_on_replicated_side(spark):
+    import pytest
+    from bikes_data_warehouse_etl_spark.operators.skew import salted_join
+
+    large = spark.range(10).selectExpr("id as k", "id as v")
+    small = spark.range(3).selectExpr("id as k", "id as w")
+    for how in ("right", "full", "right_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(large, small, ["k"], how=how)

@@ -82,3 +82,62 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     rows = verified.collect()
     assert len(rows) == 1 and rows[0]["id_a"] == 1 and rows[0]["id_b"] == 2
     assert rows[0]["jaccard_bp"] > 5000  # > 0.5 similar
+
+
+def test_fast_hash_self_consistency(spark):
+    """The xxhash64 production path must (a) produce identical
+    exact-Jaccard pair outputs — counts are invariant under any
+    injective per-shingle hash — and (b) recover the same verified
+    near-dup pair through LSH candidates."""
+    from bikes_data_warehouse_etl_spark.functions.text import hash64_fast
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark shuffles and partitions here"
+    df = _docs(spark, [(1, base), (2, near), (3, far)])
+
+    slow = {tuple(r) for r in ngram_jaccard_pairs(df, threshold=0.2).collect()}
+    fast = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(df, threshold=0.2, hash_fn=hash64_fast).collect()
+    }
+    assert slow == fast and len(slow) == 1
+
+    cands = minhash_candidates(df, n_hashes=8, bands=4, hash_fn=hash64_fast)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs
+
+
+def test_lsh_dropped_bucket_accounting(spark):
+    """A degenerate boilerplate bucket (many identical docs) must be
+    dropped by the skew cap AND show up in the drop accounting."""
+    from bikes_data_warehouse_etl_spark.operators.dedup import lsh_dropped_buckets
+
+    boiler = [(i, "terms of service apply to all users of this site") for i in range(20)]
+    distinct = [(100, "a unique document about gradient descent methods maybe")]
+    df = _docs(spark, boiler + distinct)
+
+    cands = minhash_candidates(df, n_hashes=8, bands=4, max_bucket=5)
+    # every boilerplate pair lives in over-cap buckets → no candidates
+    assert cands.count() == 0
+    stats = lsh_dropped_buckets(df, n_hashes=8, bands=4, max_bucket=5).first()
+    # identical docs share all 4 band buckets, each of size 20 > 5
+    assert stats["n_buckets_dropped"] == 4
+    assert stats["n_docs_affected"] == 20
+
+    # with the cap above the bucket size nothing is dropped
+    none = lsh_dropped_buckets(df, n_hashes=8, bands=4, max_bucket=50).first()
+    assert none["n_buckets_dropped"] == 0 and none["n_docs_affected"] == 0
+
+
+def test_exact_dedup_shuffle_key_is_hash_not_text(spark):
+    """The aggregate key must be the 8-byte content hash — full bodies
+    must not ride the exchange."""
+    df = _docs(spark, [(1, "alpha beta"), (2, "alpha beta")])
+    plan = exact_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "content_hash" in plan
+    # the exchange partitions on the hash, not the raw text column
+    import re
+
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex and all("content_hash" in ln for ln in ex)
