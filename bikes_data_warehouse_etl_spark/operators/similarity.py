@@ -83,6 +83,55 @@ def lsh_topk(
     )
 
 
+def write_ann_index(
+    df: DataFrame,
+    path: str,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the sign-LSH index: embeddings written hive-style
+    ``partitionBy('bucket')``.
+
+    This is the scale path the ``lsh_topk`` docstring promises: probes
+    against the written index filter on the *partition* column, so the
+    scan prunes to 1/2^n_bits of the directories before any vector math
+    runs (PartitionFilters in the plan — pinned by
+    ``tests/test_plan_shapes.py``). Write once, probe many.
+    """
+    from bikes_data_warehouse_etl_spark.sources.sinks import write_partitioned
+
+    indexed = df.withColumn("bucket", sign_lsh_bucket(F.col(vec_col), n_bits))
+    write_partitioned(indexed, path, ["bucket"], mode=mode)
+
+
+def lsh_topk_on_index(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Probe a ``write_ann_index`` table: the bucket equality lands on
+    the partition column → directory pruning, then exact cosine rank
+    inside the surviving bucket (TakeOrderedAndProject, no shuffle)."""
+    qbucket = sum(1 << i for i, v in enumerate(query_vec[:n_bits]) if v > 0)
+    q = _query_lit(query_vec)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket") == F.lit(qbucket))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), round_dp).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

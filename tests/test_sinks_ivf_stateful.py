@@ -56,6 +56,38 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_ann_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """Verdict r1 #7: the sign-LSH pruning claim, end-to-end — write the
+    index partitioned by bucket, probe it, and pin the plan evidence:
+    the bucket equality must appear as a PartitionFilter (directory
+    pruning, not a post-scan filter) and the probe must stay
+    shuffle-free (TakeOrderedAndProject)."""
+    from bikes_data_warehouse_etl_spark.operators.similarity import (
+        lsh_topk,
+        lsh_topk_on_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ann_index")
+    write_ann_index(emb, path, n_bits=8)
+
+    qv = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    probe = lsh_topk_on_index(spark, path, qv, k=5, n_bits=8)
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "bucket" in pf  # pruned at directory level
+    assert "Exchange" not in plan  # TakeOrderedAndProject, no shuffle
+    # same answer as the on-the-fly bucketed probe over the raw table
+    expected = [
+        (r["vec_id"], r["cos_sim"])
+        for r in lsh_topk(emb, qv, k=5, n_bits=8).collect()
+    ]
+    got = [(r["vec_id"], r["cos_sim"]) for r in probe.collect()]
+    assert got == expected
+
+
 def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centroids = ivf_centroids_from_seed_rows(emb, 16)
