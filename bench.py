@@ -23,6 +23,40 @@ from bikes_data_warehouse_etl_spark.session import get_spark  # noqa: E402
 from bikes_data_warehouse_etl_spark.plans import QUERIES  # noqa: E402
 
 
+def regressions_vs_baseline(
+    timings: dict[str, float], baseline_path: str, threshold: float = 1.5
+) -> list[str]:
+    """Per-query regression gate vs a prior round's BENCH json.
+
+    A query regresses when it is > ``threshold``× its baseline time AND
+    the absolute delta exceeds 0.5 s (sub-second queries jitter with JVM
+    warmup order; a 0.2 s → 0.4 s flip is noise, 5 s → 9 s is not).
+    New queries (absent from baseline) never count, nor do queries whose
+    definition changed since the baseline round (the old floor measures
+    different work).
+    """
+    shape_changed = {
+        # r2 reshaped this query for the bounded-error oracle: it now
+        # also computes the exact COUNT(DISTINCT) alongside the HLL
+        # estimate, so the r1 floor (estimate only) is obsolete.
+        "approx_distinct_parts",
+    }
+    if not os.path.exists(baseline_path):
+        return []
+    with open(baseline_path) as f:
+        doc = json.load(f)
+    # driver's BENCH_r{N}.json wraps the bench line under "parsed"
+    base = doc.get("parsed", doc).get("queries", {})
+    return sorted(
+        name
+        for name, t in timings.items()
+        if name in base
+        and name not in shape_changed
+        and t > base[name] * threshold
+        and t - base[name] > 0.5
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -38,6 +72,12 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    baseline = os.environ.get(
+        "SPARK_GRAFT_BENCH_BASELINE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json"),
+    )
+    regressed = regressions_vs_baseline(timings, baseline)
+
     print(
         json.dumps(
             {
@@ -46,9 +86,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "regressions_vs_r1": regressed,
             }
         )
     )
+    # strict mode (local/CI use): non-zero exit on any per-query regression
+    if regressed and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        sys.exit(1)
 
 
 if __name__ == "__main__":
