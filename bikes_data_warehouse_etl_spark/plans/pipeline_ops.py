@@ -1,0 +1,381 @@
+"""Training-data pipeline operators, round 2: sampling, corpus
+statistics, indexing, data profiling, and behavioral analytics.
+
+Same contract as the rest of the query surface — every entry is a
+(Spark plan, DuckDB oracle) pair that hash-matches bit-for-bit:
+
+* integer arithmetic everywhere a ratio appears (ppm / integer cents /
+  ``div``), never cross-engine float division;
+* the portable md5-prefix ``hash64`` wherever a hash value is part of
+  the *semantics* (sampling); production swaps ``xxhash64`` in;
+* deterministic ordering on every LIMIT (count DESC, key ASC).
+
+Scale notes are per-query docstrings; the shared theme: each operator
+is one or two shuffles on fixed-width keys with map-side partial
+aggregation, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from bikes_data_warehouse_etl_spark.functions.text import hash64, tokens
+from bikes_data_warehouse_etl_spark.plans.extensions import _SQL_TOKENS
+from bikes_data_warehouse_etl_spark.plans.synthetic import _q, _t
+
+_SQL_HASH_SMP = (
+    "CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+@_q(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_SQL_HASH_SMP} % 10 < CASE WHEN lang = 'en' THEN 1 ELSE 3 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: keep 10% of English docs,
+    30% of everything else, decided by a salted content-key hash — the
+    reproducible alternative to ``df.sample`` (whose output depends on
+    partitioning and seed plumbing, so no two engines agree).
+
+    Scale: a row-local filter — no shuffle, no state, trivially
+    restartable, and the same doc always lands in (or out of) the
+    sample across reruns and engines. This is how training mixtures
+    pin their sampling decisions at 100 TB.
+    """
+    d = _t(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
+    rate = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(3))
+    return d.filter(h % 10 < rate).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: global term frequencies
+# ---------------------------------------------------------------------------
+@_q(
+    "top_terms",
+    f"""
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 50
+    """,
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 terms — the classic distributed word count.
+
+    Scale: explode → hash-agg with map-side partial combine (the
+    term-count map collapses per partition before the shuffle moves
+    only (term, partial_n) pairs), then TakeOrderedAndProject for the
+    top-k — the full term dictionary never sorts globally. Ties broken
+    on the term so the cut at 50 is deterministic cross-engine.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document rarity scoring (the IDF half of TF-IDF, integer-exact)
+# ---------------------------------------------------------------------------
+_SQL_DISTINCT_TOKS = f"""
+    SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents)
+    WHERE term <> ''
+"""
+
+
+@_q(
+    "doc_rarity_score",
+    f"""
+    WITH toks AS ({_SQL_DISTINCT_TOKS}),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY term)
+    SELECT t.doc_id,
+           CAST((SUM(d.df) * 1000000) // COUNT(*) AS BIGINT) AS mean_df_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM toks t JOIN dfreq d USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def q_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical rarity per document: the mean document-frequency of its
+    distinct terms (low = rare vocabulary), scaled to integer ppm so
+    both engines divide exactly (``div`` / ``//`` — no float division
+    in the contract).
+
+    This is the IDF half of TF-IDF as a quality-filtering signal.
+    Scale: two shuffles — (term) for document frequencies, (doc_id)
+    for the roll-up — both on fixed-width keys with partial
+    aggregation; the term→df side is a classic broadcast candidate
+    once the dictionary is pruned (AQE decides).
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(dfreq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("(sum(df) * 1000000) div count(*)").alias("mean_df_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (posting lists)
+# ---------------------------------------------------------------------------
+@_q(
+    "inverted_index",
+    f"""
+    WITH toks AS ({_SQL_DISTINCT_TOKS})
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM toks
+    GROUP BY term
+    HAVING COUNT(*) * 10 <= (SELECT COUNT(*) FROM documents)
+       AND COUNT(*) <= 1000
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction for rare terms: term → sorted doc-id
+    list, serialized as a comma-joined string so the cross-engine hash
+    is representation-stable.
+
+    The rarity band is *relative* (df ≤ 10% of the corpus — stable as
+    the data scales) with an absolute posting-length cap (df ≤ 1000 —
+    the bound that actually protects executors; at 100 TB a "rare" 0.1%
+    term is still millions of docs, so real indexers page postings
+    beyond the cap). Scale: one shuffle on the term; the corpus size
+    joins in as a broadcast 1-row aggregate, never a driver action;
+    stop-word-frequency terms are dropped by the same aggregation's
+    count before any large list leaves the executor.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .join(F.broadcast(n_docs))
+        .filter((F.col("df") * 10 <= F.col("n_docs")) & (F.col("df") <= 1000))
+        .select("term", "df", "postings")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue (LAG window)
+# ---------------------------------------------------------------------------
+@_q(
+    "monthly_revenue_mom",
+    """
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY 1)
+    SELECT month, rev_cents,
+           LAG(rev_cents) OVER (ORDER BY month) AS prev_cents,
+           rev_cents - LAG(rev_cents) OVER (ORDER BY month) AS delta_cents
+    FROM m
+    """,
+)
+def q_monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas via LAG.
+
+    The unpartitioned window is safe *by construction*: it runs on the
+    post-aggregation monthly series, whose cardinality is bounded by
+    the calendar (~84 rows for 7 years) regardless of fact-table size —
+    the aggregation shuffle (month key, partial sums map-side) is the
+    only data-sized stage.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(F.sum(cents).alias("rev_cents"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "month",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        (F.col("rev_cents") - prev).alias("delta_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column completeness / cardinality profiling (data quality)
+# ---------------------------------------------------------------------------
+@_q(
+    "column_completeness",
+    """
+    SELECT 'c_acctbal' AS col_name,
+           CAST(COUNT(*) - COUNT(c_acctbal) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS n_distinct
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', CAST(COUNT(*) - COUNT(c_name) AS BIGINT),
+           CAST(COUNT(DISTINCT c_name) AS BIGINT)
+    FROM customer
+    """,
+)
+def q_column_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null counts and exact cardinalities — the profiling
+    pass every ingestion pipeline runs before trusting a feed.
+
+    Scale: ONE scan computes all columns' stats in a single aggregate
+    (Spark plans the multi-COUNT-DISTINCT as an expand ×3 — still one
+    pass over the data, vs the oracle's three scans which are fine for
+    a 1500-row differential check but not for 100 TB). Swap
+    ``approx_count_distinct`` in at scale and drop to rows-only.
+    """
+    c = _t(spark, sf_dir, "customer")
+    agg = c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_name").alias("nn_name"),
+        F.count_distinct("c_name").alias("nd_name"),
+        F.count("c_acctbal").alias("nn_bal"),
+        F.count_distinct("c_acctbal").alias("nd_bal"),
+        F.count("c_mktsegment").alias("nn_seg"),
+        F.count_distinct("c_mktsegment").alias("nd_seg"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, "
+            "'c_acctbal', n_rows - nn_bal, nd_bal, "
+            "'c_mktsegment', n_rows - nn_seg, nd_seg, "
+            "'c_name', n_rows - nn_name, nd_name"
+            ") as (col_name, n_nulls, n_distinct)"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics
+# ---------------------------------------------------------------------------
+@_q(
+    "key_skew_profile",
+    """
+    WITH pk AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MIN(n) AS BIGINT) AS min_rows,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           CAST(SUM(n) // COUNT(*) AS BIGINT) AS avg_rows_floor,
+           ROUND(quantile_cont(n, 0.99), 4) AS p99_rows
+    FROM pk
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for ``l_partkey``: per-key row counts
+    rolled up to min/max/floor-mean/p99 — the diagnostic you run
+    BEFORE choosing salting factors or AQE skew thresholds
+    (``operators/skew.py``). max_rows/avg_rows is the skew ratio.
+
+    Scale: groupBy(key) with map-side combine, then a single-row
+    global aggregate over one long per key. The exact p99 sorts the
+    per-key counts (fine: |keys| ≪ |rows|); at extreme key counts swap
+    ``approx_percentile``.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.expr("sum(n) div count(*)").alias("avg_rows_floor"),
+        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly user retention (behavioral analytics over events)
+# ---------------------------------------------------------------------------
+@_q(
+    "user_retention_weekly",
+    """
+    WITH wau AS (
+        SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wk, user_id
+        FROM events),
+    c AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS wau FROM wau GROUP BY 1),
+    r AS (SELECT a.wk, CAST(COUNT(*) AS BIGINT) AS retained
+          FROM wau a JOIN wau b
+            ON a.user_id = b.user_id AND b.wk = a.wk - 7
+          GROUP BY 1)
+    SELECT c.wk, c.wau, COALESCE(r.retained, 0) AS retained
+    FROM c LEFT JOIN r USING (wk)
+    """,
+)
+def q_user_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: of this week's active users, how many
+    were also active last week.
+
+    Scale: the distinct (week, user) set is the small derived table
+    every cohort metric shares — build it once (one shuffle), then the
+    retention self-join shuffles only (user, week) pairs, never raw
+    events. Spark and DuckDB both start ISO weeks on Monday, so the
+    buckets agree.
+    """
+    e = _t(spark, sf_dir, "events")
+    wau = (
+        e.select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+            "user_id",
+        )
+        .distinct()
+    )
+    counts = wau.groupBy("wk").agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    prev = wau.select(F.date_add("wk", 7).alias("wk"), "user_id")
+    retained = (
+        wau.join(prev, ["wk", "user_id"])
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("long").alias("retained"))
+    )
+    return counts.join(retained, "wk", "left").select(
+        "wk",
+        "wau",
+        F.coalesce("retained", F.lit(0).cast("long")).alias("retained"),
+    )

@@ -1,0 +1,96 @@
+"""Semantics of the round-2 pipeline operators (plans/pipeline_ops.py).
+
+Cross-engine value equality is the oracle gate's job; these pin the
+*invariants* that survive any corpus: sampling determinism and rate
+bounds, posting-list ordering, retention arithmetic, profiling
+consistency.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bikes_data_warehouse_etl_spark.plans import QUERIES
+
+
+def test_sample_stratified_deterministic_and_rate_bounded(spark, sf_dir):
+    q = QUERIES["sample_stratified"].spark
+    a = {r["doc_id"] for r in q(spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in q(spark, sf_dir).collect()}
+    assert a == b  # same docs every run — no RNG, no partition dependence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = (
+        q(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in got:
+        target = 0.1 if r["lang"] == "en" else 0.3
+        rate = r["n"] / by_lang[r["lang"]]
+        assert abs(rate - target) < 0.15  # md5 uniformity, small-n tolerance
+
+
+def test_top_terms_ordered_and_bounded(spark, sf_dir):
+    rows = QUERIES["top_terms"].spark(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    pairs = [(-r["n"], r["term"]) for r in rows]
+    assert pairs == sorted(pairs)  # count desc, term asc
+
+
+def test_inverted_index_postings_sorted_and_consistent(spark, sf_dir):
+    rows = QUERIES["inverted_index"].spark(spark, sf_dir).collect()
+    assert rows, "rarity band must be non-empty at every SF"
+    for r in rows:
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == r["df"]  # df is exactly the posting length
+        assert len(set(ids)) == len(ids)
+
+
+def test_doc_rarity_bounds(spark, sf_dir):
+    # mean document-frequency of a doc's terms can never exceed the
+    # corpus size (a term appears in at most every doc)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = QUERIES["doc_rarity_score"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["mean_df_ppm"] <= n_docs * 1_000_000
+        assert r["n_terms"] > 0
+
+
+def test_user_retention_weekly_arithmetic(spark, sf_dir):
+    rows = QUERIES["user_retention_weekly"].spark(spark, sf_dir).collect()
+    assert rows
+    by_wk = sorted(rows, key=lambda r: r["wk"])
+    assert all(0 <= r["retained"] <= r["wau"] for r in rows)
+    # retained(w) can never exceed the previous week's active count
+    for prev, cur in zip(by_wk, by_wk[1:]):
+        if (cur["wk"] - prev["wk"]).days == 7:
+            assert cur["retained"] <= prev["wau"]
+    # the first observed week has nobody to be retained from
+    assert by_wk[0]["retained"] == 0
+
+
+def test_column_completeness_profile(spark, sf_dir):
+    n = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    rows = {r["col_name"]: r for r in
+            QUERIES["column_completeness"].spark(spark, sf_dir).collect()}
+    assert set(rows) == {"c_name", "c_acctbal", "c_mktsegment"}
+    for r in rows.values():
+        assert 0 <= r["n_nulls"] <= n
+        assert 1 <= r["n_distinct"] <= n
+    assert rows["c_name"]["n_distinct"] == n  # names are unique
+
+
+def test_key_skew_profile_invariants(spark, sf_dir):
+    r = QUERIES["key_skew_profile"].spark(spark, sf_dir).collect()[0]
+    assert r["min_rows"] <= r["avg_rows_floor"] <= r["max_rows"]
+    assert r["min_rows"] <= r["p99_rows"] <= r["max_rows"]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert r["n_keys"] == li.select("l_partkey").distinct().count()
