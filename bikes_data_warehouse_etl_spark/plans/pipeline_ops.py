@@ -340,24 +340,29 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wau AS (
         SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wk, user_id
         FROM events),
-    c AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS wau FROM wau GROUP BY 1),
-    r AS (SELECT a.wk, CAST(COUNT(*) AS BIGINT) AS retained
-          FROM wau a JOIN wau b
-            ON a.user_id = b.user_id AND b.wk = a.wk - 7
-          GROUP BY 1)
-    SELECT c.wk, c.wau, COALESCE(r.retained, 0) AS retained
-    FROM c LEFT JOIN r USING (wk)
+    f AS (
+        SELECT wk,
+               CASE WHEN LAG(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                         = wk - 7
+                    THEN 1 ELSE 0 END AS r
+        FROM wau)
+    SELECT wk, CAST(COUNT(*) AS BIGINT) AS wau,
+           CAST(SUM(r) AS BIGINT) AS retained
+    FROM f GROUP BY wk
     """,
 )
 def q_user_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week retention: of this week's active users, how many
     were also active last week.
 
-    Scale: the distinct (week, user) set is the small derived table
-    every cohort metric shares — build it once (one shuffle), then the
-    retention self-join shuffles only (user, week) pairs, never raw
-    events. Spark and DuckDB both start ISO weeks on Monday, so the
-    buckets agree.
+    Shape chosen FOR scale: a user is retained in week w iff their
+    previous distinct active week is exactly w-7 — a LAG over the
+    per-user week sequence. That's one distinct on (wk, user), one
+    window partitioned by user_id (high-cardinality, evenly spread),
+    one final roll-up — 3 exchanges, no self-join. The naive
+    wau ⋈ wau self-join costs 7 exchanges and recomputes the distinct
+    set twice (measured; pinned in test_plan_shapes.py). Spark and
+    DuckDB both start ISO weeks on Monday, so the buckets agree.
     """
     e = _t(spark, sf_dir, "events")
     wau = (
@@ -367,15 +372,14 @@ def q_user_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    counts = wau.groupBy("wk").agg(F.count(F.lit(1)).cast("long").alias("wau"))
-    prev = wau.select(F.date_add("wk", 7).alias("wk"), "user_id")
-    retained = (
-        wau.join(prev, ["wk", "user_id"])
-        .groupBy("wk")
-        .agg(F.count(F.lit(1)).cast("long").alias("retained"))
+    prev_wk = F.lag("wk").over(
+        Window.partitionBy("user_id").orderBy("wk")
     )
-    return counts.join(retained, "wk", "left").select(
+    flagged = wau.select(
         "wk",
-        "wau",
-        F.coalesce("retained", F.lit(0).cast("long")).alias("retained"),
+        F.when(prev_wk == F.date_sub("wk", 7), 1).otherwise(0).alias("r"),
+    )
+    return flagged.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("wau"),
+        F.sum("r").cast("long").alias("retained"),
     )

@@ -46,6 +46,37 @@ def test_plan_contains_expected_operators(spark, sf_dir, name):
         assert needle not in plan, f"{name}: {needle} must not appear"
 
 
+def test_sample_stratified_is_scan_local(spark, sf_dir):
+    """Deterministic sampling must stay a row-local filter: zero
+    exchanges, zero aggregates — the property that makes it free at
+    100 TB."""
+    plan = _plan(spark, sf_dir, "sample_stratified")
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_top_terms_word_count_shape(spark, sf_dir):
+    """The word count must partial-aggregate map-side (two
+    HashAggregates around exactly one shuffle, which then carries
+    (term, partial_n) pairs, not raw tokens) and take the top-k with
+    a per-partition heap, never a global sort."""
+    plan = _plan(spark, sf_dir, "top_terms")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2
+    assert "Sort " not in plan  # no global sort operator
+
+
+def test_retention_has_no_self_join(spark, sf_dir):
+    """Retention is a LAG over the per-user week sequence — one
+    distinct, one window, one roll-up. The naive wau ⋈ wau self-join
+    shape (7 exchanges, distinct computed twice) must not creep back."""
+    plan = _plan(spark, sf_dir, "user_retention_weekly")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
 def test_pushdown_reaches_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pushdown_scan")
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
