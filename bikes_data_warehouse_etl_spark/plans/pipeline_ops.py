@@ -20,8 +20,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
-from bikes_data_warehouse_etl_spark.functions.text import hash64, tokens
-from bikes_data_warehouse_etl_spark.plans.extensions import _SQL_TOKENS
+from bikes_data_warehouse_etl_spark.functions.text import (
+    hash64,
+    quality_score,
+    token_count,
+    tokens,
+)
+from bikes_data_warehouse_etl_spark.plans.extensions import (
+    _SQL_NTOK,
+    _SQL_QUALITY,
+    _SQL_TOKENS,
+)
 from bikes_data_warehouse_etl_spark.plans.synthetic import _q, _t
 
 _SQL_HASH_SMP = (
@@ -328,6 +337,84 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("max_rows"),
         F.expr("sum(n) div count(*)").alias("avg_rows_floor"),
         F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The composed training-data pipeline: dedup → quality gate → split
+# ---------------------------------------------------------------------------
+_SQL_HASH_SPLIT = (
+    "CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT)"
+)
+
+
+@_q(
+    "curated_corpus",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (
+                   PARTITION BY CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                   ORDER BY doc_id) AS rn
+        FROM documents),
+    kept AS (
+        SELECT doc_id, lang,
+               {_SQL_QUALITY} AS quality,
+               {_SQL_NTOK} AS tok_cnt
+        FROM ranked
+        WHERE rn = 1)
+    SELECT doc_id, lang,
+           CASE WHEN {_SQL_HASH_SPLIT} % 100 < 90 THEN 'train'
+                WHEN {_SQL_HASH_SPLIT} % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           quality, tok_cnt
+    FROM kept
+    WHERE quality >= 0.5 AND tok_cnt >= 20
+    """,
+)
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline every pretraining corpus runs,
+    end-to-end in one plan: exact dedup (keep the lowest doc_id per
+    content hash) → quality gate (composite score ≥ 0.5, ≥ 20 tokens)
+    → deterministic 90/5/5 train/val/test split by a salted id hash.
+
+    Scale shape: ONE shuffle total — the row_number window on the
+    64-bit content hash (full bodies never shuffle; hash-partitioned,
+    and identical-boilerplate hot keys are bounded because ties beyond
+    rank 1 are discarded at the first window sort). Quality scoring and
+    split assignment are row-local expressions AFTER the dedup cut, so
+    they run on the surviving rows only. The split is salted
+    independently of the sampling hash (``smp:`` vs ``split:``) so
+    composing both operators never correlates their decisions.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(hash64("text")).orderBy("doc_id")
+    kept = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            quality_score("text").alias("quality"),
+            token_count("text").alias("tok_cnt"),
+        )
+    )
+    bucket = hash64(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    return (
+        kept.filter((F.col("quality") >= 0.5) & (F.col("tok_cnt") >= 20))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(bucket < 90, "train")
+            .when(bucket < 95, "val")
+            .otherwise("test")
+            .alias("split"),
+            "quality",
+            "tok_cnt",
+        )
     )
 
 

@@ -64,6 +64,24 @@ def test_doc_rarity_bounds(spark, sf_dir):
         assert r["n_terms"] > 0
 
 
+def test_curated_corpus_invariants(spark, sf_dir):
+    rows = QUERIES["curated_corpus"].spark(spark, sf_dir).collect()
+    assert rows
+    # every survivor clears the quality gate
+    assert all(r["quality"] >= 0.5 and r["tok_cnt"] >= 20 for r in rows)
+    # split is exhaustive and roughly 90/5/5 (hash uniformity)
+    splits = [r["split"] for r in rows]
+    assert set(splits) <= {"train", "val", "test"}
+    train_frac = splits.count("train") / len(splits)
+    assert 0.8 <= train_frac <= 0.97
+    # dedup keeps at most one row per doc (and per content, transitively)
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    # deterministic end to end
+    again = QUERIES["curated_corpus"].spark(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_user_retention_weekly_arithmetic(spark, sf_dir):
     rows = QUERIES["user_retention_weekly"].spark(spark, sf_dir).collect()
     assert rows
