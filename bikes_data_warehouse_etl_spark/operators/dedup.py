@@ -371,3 +371,64 @@ def simhash_groups(
             F.concat_ws(",", F.sort_array(F.collect_list("id"))).alias("members_csv"),
         )
     )
+
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: min-label
+    propagation until fixpoint. Returns (node, component_id) for every
+    node that appears in a pair — component_id is the smallest doc id
+    reachable through the candidate-pair edges, i.e. the canonical
+    representative the dedup keeps.
+
+    This closes the LSH pipeline: candidates → verified pairs →
+    *groups* (A~B and B~C must collapse to one keeper even when A~C
+    was never scored).
+
+    Scale: each iteration is one join + one min-aggregate on (node,
+    label) longs — fixed-width keys, map-side combinable — and
+    converges in ≤ graph-diameter iterations (near-dup components are
+    shallow: boilerplate clusters are star-shaped, so typically 2-3
+    rounds). The driver-side loop holds only a convergence *count* per
+    round, never data. At extreme scale swap in the large-star/
+    small-star iteration (Kiveris et al.) — same per-round plan shape,
+    provably fewer rounds on deep chains.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = edges.union(
+        pairs.select(
+            F.col(id_b).cast("long").alias("src"),
+            F.col(id_a).cast("long").alias("dst"),
+        )
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("component_id"))

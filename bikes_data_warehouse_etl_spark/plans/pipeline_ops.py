@@ -27,6 +27,7 @@ from bikes_data_warehouse_etl_spark.functions.text import (
     tokens,
 )
 from bikes_data_warehouse_etl_spark.plans.extensions import (
+    _SQL_NEARDUP,
     _SQL_NTOK,
     _SQL_QUALITY,
     _SQL_TOKENS,
@@ -337,6 +338,106 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("max_rows"),
         F.expr("sum(n) div count(*)").alias("avg_rows_floor"),
         F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: candidate pairs → connected components
+# ---------------------------------------------------------------------------
+_SQL_COMPONENTS = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT id_a, id_b FROM ({_SQL_NEARDUP})),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT src AS node, src AS r FROM edges
+        UNION
+        SELECT w.node, e.dst FROM reach w JOIN edges e ON e.src = w.r
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component_id
+             FROM reach GROUP BY node)
+    SELECT c.doc_id, c.component_id, s.n_members
+    FROM comp c
+    JOIN (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM comp GROUP BY component_id) s USING (component_id)
+    """
+
+
+@_q("neardup_components", _SQL_COMPONENTS)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup group closure: verified near-dup pairs (exact Jaccard ≥
+    0.2) clustered into connected components by min-label propagation
+    — A~B and B~C collapse to one keeper even though A~C was never
+    scored. Output: (doc_id, component_id, n_members) for every doc in
+    a multi-doc component; component_id is the smallest member id (the
+    row the dedup keeps).
+
+    The oracle side computes the same transitive closure as a DuckDB
+    recursive CTE — the rare case where the differential gate checks an
+    *iterative* Spark algorithm against a declarative fixpoint.
+    """
+    from bikes_data_warehouse_etl_spark.operators.dedup import (
+        neardup_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    comps = neardup_components(pairs)
+    sizes = comps.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return comps.select(F.col("node").alias("doc_id"), "component_id").join(
+        sizes, "component_id"
+    ).select("doc_id", "component_id", "n_members")
+
+
+# ---------------------------------------------------------------------------
+# Event funnel (ordered-firsts conversion)
+# ---------------------------------------------------------------------------
+@_q(
+    "event_funnel",
+    """
+    WITH pu AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(tv) AS BIGINT) AS n_view_users,
+           CAST(COUNT(CASE WHEN tv < tc THEN 1 END) AS BIGINT)
+               AS n_view_then_click,
+           CAST(COUNT(CASE WHEN tv < tc AND tc < tp THEN 1 END) AS BIGINT)
+               AS n_full_funnel
+    FROM pu
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel, ordered-firsts
+    semantics: a user converts a stage if their first view precedes
+    their first click precedes their first purchase.
+
+    Scale: ONE shuffle (user_id) computing three conditional MINs
+    map-side, then a single-row roll-up — the standard funnel shape
+    that never materializes per-event sequences. Only timestamp
+    *comparisons* cross the engines (counts out), so nanosecond
+    normalization differences can't leak into the hash.
+    """
+    e = _t(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("tc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+    )
+    return pu.agg(
+        F.count("tv").alias("n_view_users"),
+        F.count(F.when(F.col("tv") < F.col("tc"), 1)).alias(
+            "n_view_then_click"
+        ),
+        F.count(
+            F.when((F.col("tv") < F.col("tc")) & (F.col("tc") < F.col("tp")), 1)
+        ).alias("n_full_funnel"),
     )
 
 

@@ -64,6 +64,57 @@ def test_doc_rarity_bounds(spark, sf_dir):
         assert r["n_terms"] > 0
 
 
+def test_neardup_components_closure(spark, sf_dir):
+    """Components must be closed over the pair graph: both endpoints of
+    every verified pair share a component, the representative is the
+    min member, and n_members is consistent."""
+    from bikes_data_warehouse_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from bikes_data_warehouse_etl_spark.sources.parquet import read_table
+
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in QUERIES["neardup_components"].spark(spark, sf_dir).collect()
+    }
+    assert comp
+    pairs = ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.2
+    ).collect()
+    for p in pairs:
+        assert comp[p["id_a"]] == comp[p["id_b"]]
+    # representative is the smallest member of its component
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for doc, c in comp.items():
+        members[c].append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)
+
+
+def test_neardup_components_chain_transitivity(spark):
+    """A~B, B~C but never A~C must still collapse to one component."""
+    from bikes_data_warehouse_etl_spark.operators.dedup import (
+        neardup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in neardup_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_event_funnel_monotone(spark, sf_dir):
+    r = QUERIES["event_funnel"].spark(spark, sf_dir).collect()[0]
+    assert r["n_view_users"] >= r["n_view_then_click"] >= r["n_full_funnel"]
+    assert r["n_view_users"] > 0
+
+
 def test_curated_corpus_invariants(spark, sf_dir):
     rows = QUERIES["curated_corpus"].spark(spark, sf_dir).collect()
     assert rows
