@@ -1,0 +1,355 @@
+"""Training-data pipeline operators, round 2 batch 2: repetition
+filtering, benchmark decontamination, embedding centroids, global
+quantile gates, numeric profiling, and anomaly flagging.
+
+Same contract as `pipeline_ops.py`: every query is a (Spark plan,
+DuckDB oracle) pair expected to hash-match bit-for-bit, so all
+cross-engine arithmetic is integer-exact (cents / ppm / micro-units,
+``div``/``//`` only where both engines agree on sign handling, floor
+of an exact double division where they don't).
+
+Scale notes are per-query docstrings; the shared theme again: fixed
+width shuffle keys, map-side partial aggregation, broadcasts only for
+provably-small sides (a benchmark n-gram set, a 1-row threshold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from bikes_data_warehouse_etl_spark.functions.text import (
+    token_count,
+    tokens,
+    word_shingles_from_tokens,
+)
+from bikes_data_warehouse_etl_spark.plans.extensions import (
+    _SQL_NTOK,
+    _SQL_SHINGLES,
+    _SQL_TOKENS,
+)
+from bikes_data_warehouse_etl_spark.plans.synthetic import _q, _t
+
+# k=2 word shingles (bigrams), mirroring _SQL_SHINGLES with one fewer
+# shifted slice
+_SQL_BIGRAMS = (
+    f"list_transform(generate_series(1, len({_SQL_TOKENS}) - 1), "
+    f"i -> array_to_string(({_SQL_TOKENS})[i:i+1], ' '))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+@_q(
+    "repetition_score",
+    f"""
+    WITH bg AS (
+        SELECT doc_id, unnest({_SQL_BIGRAMS}) AS b FROM documents),
+    per AS (
+        SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(((SUM(n) - COUNT(*)) * 1000000) // SUM(n) AS BIGINT)
+               AS dup_ppm,
+           CAST(MAX(n) AS BIGINT) AS top_n
+    FROM per GROUP BY doc_id
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram repetition profile — the "duplicated n-gram
+    fraction" quality rule (Gopher / C4 style): documents whose text is
+    dominated by a few repeated word pairs are boilerplate or spam.
+    ``dup_ppm`` is the repeated-bigram fraction in integer ppm;
+    ``top_n`` the count of the single most repeated bigram.
+
+    Scale: bigram *strings* never shuffle — the per-(doc, bigram)
+    count groups on (doc_id, xxhash64(bigram)), a 16-byte key, with
+    map-side combine; the doc roll-up then groups on doc_id alone.
+    Distinct-counting via the hash is exact modulo 64-bit collisions
+    (the same standing assumption as the minhash/LSH family). Both
+    stages hash-partition on high-cardinality keys, so the plan is
+    skew-safe at any corpus size.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tokd = d.select("doc_id", tokens(F.col("text")).alias("__toks__"))
+    bg = tokd.select(
+        "doc_id",
+        F.explode(word_shingles_from_tokens(F.col("__toks__"), 2)).alias("b"),
+    )
+    per = bg.groupBy("doc_id", F.xxhash64("b").alias("bh")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.expr("((sum(n) - count(*)) * 1000000) div sum(n)").alias("dup_ppm"),
+        F.max("n").cast("long").alias("top_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+@_q(
+    "decontam_overlap",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, source, unnest(list_distinct({_SQL_SHINGLES})) AS s
+        FROM documents),
+    bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+    SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sh JOIN bench USING (s)
+    WHERE sh.source <> 'src0'
+    GROUP BY sh.doc_id
+    """,
+)
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing any
+    3-word shingle with the benchmark partition (``source = 'src0'``
+    stands in for the held-out eval set), with the shared-shingle count
+    as the contamination strength. Docs with no overlap don't appear —
+    the output is the *removal list* a pretraining pipeline feeds to an
+    anti-join.
+
+    Scale: the benchmark side is distinct-reduced then **broadcast by
+    construction** — eval sets are fixed-size (thousands of docs, not
+    fact-scaled), which is precisely when a forced broadcast is right;
+    the corpus side streams map-side against the broadcast hash set,
+    so the only shuffle is the final per-doc count on doc_id. Shingles
+    travel as xxhash64 longs, never strings (64-bit-collision
+    assumption as elsewhere).
+    """
+    d = _t(spark, sf_dir, "documents")
+    tokd = d.select(
+        "doc_id", "source", tokens(F.col("text")).alias("__toks__")
+    )
+    sh = tokd.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_shingles_from_tokens(F.col("__toks__"), 3))
+        ).alias("s"),
+    ).select("doc_id", "source", F.xxhash64("s").alias("sh"))
+    bench = sh.filter(F.col("source") == "src0").select("sh").distinct()
+    return (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (vector aggregation)
+# ---------------------------------------------------------------------------
+@_q(
+    "label_centroids",
+    """
+    WITH ex AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS micro
+        FROM embeddings)
+    SELECT label, dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(micro) AS BIGINT) AS sum_micro,
+           CAST(FLOOR(CAST(SUM(micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS centroid_micro
+    FROM ex GROUP BY label, dim
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids, dimension-wise — the reduction
+    behind k-means/IVF training, class prototypes, and drift monitors.
+    Elements are fixed to integer micro-units *before* aggregation
+    (floor(double(x)·1e6) — float→double widening and floor are
+    IEEE-identical in both engines), so the sums are exact integers and
+    independent of summation order; the mean is floor(sum/n) on an
+    exact double (|sum| ≪ 2^53), avoiding the Spark-``div``-truncates /
+    DuckDB-``//``-floors sign mismatch on negative sums.
+
+    Scale: posexplode → groupBy(label, dim) is one shuffle carrying
+    (int, int, long) rows with map-side partial sums; output
+    cardinality is |labels|·|dims|, independent of row count. This is
+    the scalable shape — per-partition vector pre-summing via
+    ``F.aggregate`` over arrays would also work but loses map-side
+    combine granularity under skewed labels.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("val").cast("double") * 1000000).cast("long").alias(
+            "micro"
+        ),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("micro").cast("long").alias("sum_micro"),
+        F.floor(
+            F.sum("micro").cast("double") / F.count(F.lit(1))
+        ).cast("long").alias("centroid_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global quantile gate (bottom-decile filter without a global sort)
+# ---------------------------------------------------------------------------
+@_q(
+    "token_len_decile_gate",
+    f"""
+    WITH tc AS (SELECT doc_id, {_SQL_NTOK} AS tok_cnt FROM documents),
+    c AS (SELECT tok_cnt, COUNT(*) AS n FROM tc GROUP BY tok_cnt),
+    cum AS (SELECT tok_cnt, SUM(n) OVER (ORDER BY tok_cnt) AS cum FROM c),
+    thr AS (SELECT MIN(tok_cnt) AS p10 FROM cum,
+                 (SELECT COUNT(*) AS t FROM tc)
+            WHERE cum * 10 >= t)
+    SELECT tc.doc_id, tc.tok_cnt, thr.p10
+    FROM tc, thr WHERE tc.tok_cnt >= thr.p10
+    """,
+)
+def q_token_len_decile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop the shortest decile of documents by token count — a global
+    percentile *gate*, computed without ever globally sorting the data:
+    the exact p10 threshold comes from the cumulative histogram of the
+    bounded-cardinality length distribution (token counts, a few
+    hundred distinct values regardless of corpus size), then broadcasts
+    back as a 1-row filter.
+
+    Scale: one groupBy(tok_cnt) shuffle (map-side combined, output
+    ≤ |distinct lengths| rows), an unpartitioned window that is safe by
+    construction on that bounded series, and a broadcast join for the
+    threshold — the full corpus is touched exactly twice, never sorted.
+    The same shape generalizes to any discretized score (quality ppm,
+    perplexity buckets).
+    """
+    d = _t(spark, sf_dir, "documents")
+    tc = d.select("doc_id", token_count(F.col("text")).alias("tok_cnt"))
+    counts = tc.groupBy("tok_cnt").agg(F.count(F.lit(1)).alias("n"))
+    cum = counts.select(
+        "tok_cnt",
+        F.sum("n")
+        .over(
+            Window.orderBy("tok_cnt").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    total = tc.agg(F.count(F.lit(1)).alias("t"))
+    thr = (
+        cum.join(F.broadcast(total))
+        .filter(F.col("cum") * 10 >= F.col("t"))
+        .agg(F.min("tok_cnt").alias("p10"))
+    )
+    return tc.join(F.broadcast(thr)).filter(
+        F.col("tok_cnt") >= F.col("p10")
+    ).select("doc_id", "tok_cnt", "p10")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width numeric histogram (events.value)
+# ---------------------------------------------------------------------------
+@_q(
+    "value_histogram",
+    """
+    WITH c AS (
+        SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+    SELECT CAST(cents // 500 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM c GROUP BY bucket
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width ($5) histogram over event values with per-bucket
+    min/max/sum — the numeric-profiling pass behind range pruning,
+    outlier triage, and bucketing decisions. Values are integer cents
+    (the column is 2-decimal by contract; ROUND(·,0) parity is already
+    pinned by the revenue queries); buckets are non-negative so
+    Spark's truncating ``div`` and DuckDB's flooring ``//`` agree.
+
+    Scale: a single row-local projection plus one groupBy on an
+    8-byte bucket id with map-side combine — output cardinality is
+    range/width, independent of row count. The same plan serves as the
+    equi-width stats collector for AQE-style range estimation.
+    """
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        e.select(cents.alias("cents"))
+        .select(F.expr("cents div 500").alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user anomaly flags (integer-exact 2-sigma, no sqrt)
+# ---------------------------------------------------------------------------
+@_q(
+    "user_value_outliers",
+    """
+    WITH c AS (
+        SELECT event_id, user_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events),
+    s AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS ssq
+        FROM c GROUP BY user_id)
+    SELECT c.event_id, c.user_id, c.cents
+    FROM c JOIN s USING (user_id)
+    WHERE s.n >= 30
+      AND (s.n * c.cents - s.s) * (s.n * c.cents - s.s)
+          > 4 * (s.n * s.ssq - s.s * s.s)
+    """,
+)
+def q_user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 2-sigma outlier events, computed entirely in integer
+    arithmetic: the test |v − mean| > 2·stddev is squared and scaled by
+    n² so no division, sqrt, or float ever happens —
+    (n·v − Σv)² > 4·(n·Σv² − (Σv)²) is exact in BIGINT for cent-valued
+    data (worst term ≈ n·Σv² ≪ 2^63 at any per-user volume that fits an
+    executor). Users with fewer than 30 events are skipped (no stable
+    variance).
+
+    Scale: one groupBy(user_id) with map-side partial sums, then an
+    equi-join of the stats back to the events on the same key — AQE
+    broadcasts the stats side when |users| is small, and both sides
+    are already hash-partitioned on user_id otherwise, so the join
+    reuses the aggregation's exchange. No window over event sequences.
+    """
+    e = _t(spark, sf_dir, "events")
+    c = e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    s = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ssq"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    return (
+        c.join(s, "user_id")
+        .filter(
+            (F.col("n") >= 30)
+            & (dev * dev > 4 * (F.col("n") * F.col("ssq") - F.col("s") * F.col("s")))
+        )
+        .select("event_id", "user_id", "cents")
+    )
