@@ -147,6 +147,33 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(sample, schema=schema)
 
 
+def resize_dims(decoded: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving resize *plan*: compute the output geometry that
+    a real resizer (PIL ``thumbnail`` / libswscale) would produce for a
+    fit-in-``target``-box resize, as pure integer arithmetic on the
+    decoded metadata — the pixel transform itself stays inside the
+    decode stub's contract (swap the stub for PIL and feed these dims
+    to ``Image.resize``). Keeping the geometry JVM-side means the
+    planner prunes/pushes it like any other column; only the pixel work
+    pays the Python-worker toll.
+
+    new_w = w·target div max(w,h) (and symmetrically h) — floor-exact,
+    so the longer side lands on exactly ``target``.
+    """
+    # integer `div` (never float division + cast: a correctly-rounded
+    # double quotient can land on the next integer and break floor parity)
+    return decoded.withColumns(
+        {
+            "rs_width": F.expr(
+                f"cast(width * {target} div greatest(width, height) as int)"
+            ),
+            "rs_height": F.expr(
+                f"cast(height * {target} div greatest(width, height) as int)"
+            ),
+        }
+    )
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as opaque payloads so the
     multimodal path is exercisable on the synthetic corpus."""

@@ -353,3 +353,204 @@ def q_user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: aspect-preserving resize geometry (decode → resize plan)
+# ---------------------------------------------------------------------------
+@_q(
+    "multimodal_resize",
+    """
+    WITH d AS (
+        SELECT doc_id AS media_id,
+               64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS width,
+               64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS height
+        FROM documents)
+    SELECT media_id, width, height,
+           CAST(width * 224 // greatest(width, height) AS INT) AS rs_width,
+           CAST(height * 224 // greatest(width, height) AS INT) AS rs_height
+    FROM d
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → fit-in-224-box resize geometry, the second stage of the
+    image pipeline: the Arrow-batched decode stub yields (width,
+    height); the aspect-preserving output dims are integer ``div``
+    arithmetic computed JVM-side (``operators/multimodal.py
+    resize_dims``) — only pixel work belongs in the Python worker, the
+    geometry stays in codegen where the planner can prune it.
+
+    Scale: decode is mapInPandas (one Arrow batch resident per task);
+    the resize projection adds zero shuffles and zero Python calls.
+    Positive operands, so Spark ``div`` and DuckDB ``//`` agree.
+    """
+    from bikes_data_warehouse_etl_spark.operators.multimodal import (
+        decode_media,
+        documents_as_media,
+        resize_dims,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    decoded = decode_media(media)
+    return resize_dims(decoded, target=224).select(
+        "media_id", "width", "height", "rs_width", "rs_height"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: frame sampling (video-style payload splitting)
+# ---------------------------------------------------------------------------
+@_q(
+    "frame_sample_stats",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, text, strlen(text) AS len
+        FROM documents),
+    f AS (
+        SELECT media_id,
+               unnest(generate_series(0, 3)) AS frame_idx,
+               text,
+               greatest(len // 4, 1) AS step
+        FROM m)
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(step AS BIGINT) AS n_frame_bytes,
+           md5(substr(text, frame_idx * step + 1, step)) AS frame_md5
+    FROM f
+    """,
+)
+def q_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling through the Arrow iterator path: each
+    payload splits into 4 equal byte-range frames (one output row per
+    frame, the shape a real frame sampler produces), then per-frame
+    size + content digest. The corpus is pure ASCII so the oracle's
+    char-slicing md5 equals the byte-slicing md5 of the binary frames.
+
+    Scale: mapInPandas explodes rows 4× inside the Arrow batch — no
+    shuffle at all; frame payloads never leave the task that sampled
+    them. Digesting in the same pass is the standard trick to avoid
+    persisting raw frames.
+    """
+    from bikes_data_warehouse_etl_spark.operators.multimodal import (
+        documents_as_media,
+        frame_sample,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    frames = frame_sample(media, n_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("long").alias("n_frame_bytes"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (row-local document splitting)
+# ---------------------------------------------------------------------------
+@_q(
+    "doc_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    c AS (
+        SELECT doc_id,
+               unnest(generate_series(0, (len(toks) - 1) // 16)) AS chunk_idx,
+               toks
+        FROM t)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 16])
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' ')
+               AS chunk_text
+    FROM c
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into 16-token
+    chunks (last chunk ragged) — the pre-tokenization step that turns a
+    corpus into training sequences.
+
+    Scale: entirely row-local — tokenize once, slice ``k`` windows with
+    a top-level ``transform``, posexplode. ZERO shuffles at any corpus
+    size; chunk rows inherit the input partitioning, so a downstream
+    shuffle (e.g. packing by length) starts from even partitions. The
+    slice-based construction keeps tokenization O(tokens), not
+    O(tokens·chunks) (same CollapseProject trap as the shingle builder).
+    """
+    d = _t(spark, sf_dir, "documents")
+    tokd = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    chunks = tokd.select(
+        "doc_id",
+        F.posexplode(
+            # size >= 1 always (split('') yields ['']), so truncating div
+            # and flooring // agree on (size-1) div 16
+            F.expr(
+                "transform(sequence(0, int((size(toks) - 1) div 16)), "
+                "i -> slice(toks, i * 16 + 1, 16))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix
+# ---------------------------------------------------------------------------
+@_q(
+    "source_overlap_matrix",
+    f"""
+    WITH sh AS (
+        SELECT DISTINCT source, unnest(list_distinct({_SQL_SHINGLES})) AS s
+        FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: for every source pair, how many
+    distinct 3-gram shingles they share — the provenance diagnostic
+    that finds mirrored / scraped-twice feeds before dedup wastes a
+    full LSH pass on them.
+
+    Scale: distinct (source, shingle-hash) first — the per-shingle
+    fan-out is bounded by |sources| (not row count), so the self-join
+    emits at most |sources|²/2 pairs per shingle and the output is a
+    tiny matrix regardless of corpus size. The join key is the 8-byte
+    shingle hash; both sides reuse one exchange (self-join on the same
+    distinct-reduced child).
+    """
+    d = _t(spark, sf_dir, "documents")
+    tokd = d.select("source", tokens(F.col("text")).alias("__toks__"))
+    sh = (
+        tokd.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    word_shingles_from_tokens(F.col("__toks__"), 3)
+                )
+            ).alias("s"),
+        )
+        .select("source", F.xxhash64("s").alias("sh"))
+        .distinct()
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

@@ -191,6 +191,90 @@ def test_user_value_outliers_no_cartesian(spark, sf_dir):
     assert "HashAggregate" in plan
 
 
+# ---------------------------------------------------------------------------
+# multimodal_resize
+# ---------------------------------------------------------------------------
+def test_multimodal_resize_geometry(spark, sf_dir):
+    out = _run(spark, sf_dir, "multimodal_resize")
+    longer = out[["width", "height"]].max(axis=1)
+    rs_longer = out[["rs_width", "rs_height"]].max(axis=1)
+    # the longer side lands exactly on the target box
+    assert (rs_longer == 224).all()
+    # aspect ratio preserved within floor rounding: rs = dim*224 // longer
+    assert (out["rs_width"] == out["width"] * 224 // longer).all()
+    assert (out["rs_height"] == out["height"] * 224 // longer).all()
+    assert (out["rs_width"] >= 1).all() and (out["rs_height"] >= 1).all()
+
+
+# ---------------------------------------------------------------------------
+# frame_sample_stats
+# ---------------------------------------------------------------------------
+def test_frame_sample_stats_matches_python(spark, sf_dir):
+    import hashlib
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = _run(spark, sf_dir, "frame_sample_stats")
+    assert len(out) == 4 * len(docs)
+    assert sorted(out["frame_idx"].unique()) == [0, 1, 2, 3]
+    row = docs.iloc[3]
+    b = row["text"].encode()
+    step = max(len(b) // 4, 1)
+    sub = out[out["media_id"] == row["doc_id"]].sort_values("frame_idx")
+    for i, (_, r) in enumerate(sub.iterrows()):
+        frame = b[i * step : (i + 1) * step]
+        assert r["n_frame_bytes"] == len(frame)
+        assert r["frame_md5"] == hashlib.md5(frame).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# doc_chunks
+# ---------------------------------------------------------------------------
+def test_doc_chunks_reassemble_and_shape(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = _run(spark, sf_dir, "doc_chunks")
+    # every chunk except the last is exactly 16 tokens; reassembly
+    # reproduces the normalized token stream
+    for doc_id in docs["doc_id"].head(5):
+        toks = _norm_tokens(docs.set_index("doc_id").loc[doc_id, "text"])
+        sub = out[out["doc_id"] == doc_id].sort_values("chunk_idx")
+        assert list(sub["n_chunk_tokens"])[:-1] == [16] * (len(sub) - 1)
+        joined = " ".join(sub["chunk_text"])
+        assert joined.split() == toks
+    assert (out["n_chunk_tokens"] >= 1).all()
+    assert (out["n_chunk_tokens"] <= 16).all()
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_dir):
+    """Chunking must stay row-local — zero exchanges at any corpus
+    size."""
+    plan = _plan(spark, sf_dir, "doc_chunks")
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_matrix
+# ---------------------------------------------------------------------------
+def test_source_overlap_matrix_shape(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = _run(spark, sf_dir, "source_overlap_matrix")
+    n_sources = docs["source"].nunique()
+    assert len(out) <= n_sources * (n_sources - 1) // 2
+    assert (out["source_a"] < out["source_b"]).all()
+    assert (out["n_shared"] >= 1).all()
+    # symmetric spot-check against Python sets
+    def shingles(text):
+        t = _norm_tokens(text)
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    by_src = {}
+    for _, r in docs.iterrows():
+        by_src.setdefault(r["source"], set()).update(shingles(r["text"]))
+    a, b = sorted(docs["source"].unique())[:2]
+    want = len(by_src[a] & by_src[b])
+    got = out[(out["source_a"] == a) & (out["source_b"] == b)]["n_shared"]
+    assert (int(got.iloc[0]) if len(got) else 0) == want
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -200,6 +284,10 @@ def test_user_value_outliers_no_cartesian(spark, sf_dir):
         "token_len_decile_gate",
         "value_histogram",
         "user_value_outliers",
+        "multimodal_resize",
+        "frame_sample_stats",
+        "doc_chunks",
+        "source_overlap_matrix",
     ],
 )
 def test_registered_with_oracle(name):
