@@ -554,3 +554,275 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (documents → fixed-token-budget training sequences)
+# ---------------------------------------------------------------------------
+_SQL_HASH_PACK = (
+    "CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT)"
+)
+
+
+@_q(
+    "sequence_packing",
+    f"""
+    WITH tc AS (
+        SELECT doc_id, {_SQL_NTOK} AS tok_cnt,
+               {_SQL_HASH_PACK} % 8 AS bucket
+        FROM documents),
+    packed AS (
+        SELECT doc_id, bucket, tok_cnt,
+               COALESCE(SUM(tok_cnt) OVER (
+                   PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM tc)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(tok_cnt AS BIGINT) AS tok_cnt,
+           CAST(cum_before // 1024 AS BIGINT) AS seq_id
+    FROM packed
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → training-sequence packing: assign every document to a
+    fixed-budget (1024-token) sequence, streaming-fill style — the step
+    that turns a curated corpus into pretraining batches. Documents
+    spread over 8 salted hash buckets (at scale: one bucket ≈ one
+    writer task); within a bucket the exclusive running token total
+    places each doc in sequence ``cum_before div 1024``.
+
+    Scale: ONE shuffle (hash bucket), then an in-partition window —
+    bucket count scales with the cluster, so no single task sees more
+    than corpus/n_buckets tokens, and assignment is deterministic
+    (hash + doc_id order), reproducible across engines and reruns.
+    Greedy first-fit packs ~tighter but is inherently sequential; the
+    streaming-fill shape is what distributed packers actually ship.
+    Non-negative operands, so truncating ``div`` equals flooring
+    ``//``.
+    """
+    from bikes_data_warehouse_etl_spark.functions.text import hash64
+
+    d = _t(spark, sf_dir, "documents")
+    tc = d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("tok_cnt"),
+        (
+            hash64(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+            % 8
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tc.withColumn(
+            "cum_before", F.coalesce(F.sum("tok_cnt").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("tok_cnt").cast("long").alias("tok_cnt"),
+            F.expr("cum_before div 1024").alias("seq_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (integer-exact scoring)
+# ---------------------------------------------------------------------------
+@_q(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        WHERE term <> '' GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ((n.n_docs * 1000) // df.df) AS score_milli,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ((n.n_docs * 1000) // df.df) DESC,
+                            tf.term) AS rnk
+        FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, CAST(score_milli AS BIGINT) AS score_milli,
+           CAST(rnk AS INT) AS rnk
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document by TF-IDF, with a
+    fully integer score (tf · (N·1000 div df)) so both engines rank and
+    hash identically — completing the TF-IDF pair started by
+    ``doc_rarity_score`` (the IDF half). Ties break on the term.
+
+    Scale: tf groups on (doc_id, term) — term strings must survive to
+    the output, so this is the one text-keyed shuffle in the family;
+    df reduces the term dictionary (broadcast candidate after
+    reduction, AQE's call), the corpus count joins as a broadcast
+    1-row aggregate, and the per-doc top-3 compiles to WindowGroupLimit
+    (per-partition rank heap, never a full per-doc sort materialized).
+    """
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score_milli", F.expr("tf * ((n_docs * 1000) div df)")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_milli").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("score_milli").cast("long").alias("score_milli"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU / MAU stickiness (behavioral analytics)
+# ---------------------------------------------------------------------------
+@_q(
+    "dau_mau_stickiness",
+    """
+    WITH dau AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+               CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1, 2),
+    mau AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+               COUNT(DISTINCT user_id) AS mau
+        FROM events GROUP BY 1)
+    SELECT d.month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d.dau) // COUNT(*) AS BIGINT) AS avg_dau_floor,
+           CAST(m.mau AS BIGINT) AS mau,
+           CAST((SUM(d.dau) * 1000000) // (COUNT(*) * m.mau) AS BIGINT)
+               AS stickiness_ppm
+    FROM dau d JOIN mau m USING (month)
+    GROUP BY d.month, m.mau
+    """,
+)
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly stickiness (avg DAU / MAU, integer ppm) — the engagement
+    ratio behind "how often do actives return". Distinct users roll up
+    per day and per month, then combine on the bounded month key.
+
+    Scale: two distinct-aggregations over (day|month, user) — both
+    hash-partitioned with partial dedup map-side — joined on the
+    ~constant-cardinality month key (broadcast, AQE's call). The ppm
+    division happens post-aggregation on bounded rows. COUNT(DISTINCT)
+    at 100 TB: swap ``approx_count_distinct`` and drop to rows-only, or
+    pre-bucket users (the documented HLL path in
+    ``approx_distinct_parts``).
+    """
+    e = _t(spark, sf_dir, "events")
+    month = F.date_trunc("month", F.col("ts")).cast("date").alias("month")
+    dau = e.groupBy(month, F.col("ts").cast("date").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    mau = e.groupBy(month).agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.expr("sum(dau) div count(*)").alias("avg_dau_floor"),
+            F.expr("(sum(dau) * 1000000) div (count(*) * mau)").alias(
+                "stickiness_ppm"
+            ),
+        )
+        .select(
+            "month",
+            "n_days",
+            "avg_dau_floor",
+            F.col("mau").cast("long").alias("mau"),
+            "stickiness_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feed reconciliation (FULL OUTER join of two daily aggregates)
+# ---------------------------------------------------------------------------
+@_q(
+    "feed_reconcile_daily",
+    """
+    WITH o AS (
+        SELECT o_orderdate AS day, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders WHERE o_orderdate >= DATE '1998-07-25'
+        GROUP BY 1),
+    r AS (
+        SELECT l_shipdate AS day, CAST(COUNT(*) AS BIGINT) AS n_shipments
+        FROM lineitem WHERE l_shipdate >= DATE '1998-07-28'
+        GROUP BY 1)
+    SELECT COALESCE(o.day, r.day) AS day,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(r.n_shipments, 0) AS n_shipments,
+           CASE WHEN o.day IS NULL THEN 'shipments_only'
+                WHEN r.day IS NULL THEN 'orders_only'
+                ELSE 'both' END AS presence
+    FROM o FULL OUTER JOIN r ON o.day = r.day
+    """,
+)
+def q_feed_reconcile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily feed reconciliation: FULL OUTER join of two independently
+    aggregated sources (order counts vs lineitem shipment counts per
+    day), flagging days present in only one feed — the completeness
+    check run before trusting any multi-source pipeline. The two
+    windows are offset (orders from 07-25, shipments from 07-28;
+    shipments run months past the last order) so all three presence
+    states occur.
+
+    Scale: each side reduces to ≤ one row per day BEFORE the join —
+    the full-outer join runs on two bounded daily series, never on raw
+    facts (a raw-grain full-outer of two fact tables is the classic
+    reconciliation anti-pattern: it shuffles both tables to produce
+    what two partial aggregations already knew).
+    """
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-07-25").cast("date"))
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    r = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1998-07-28").cast("date"))
+        .groupBy(F.col("l_shipdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shipments"))
+    )
+    oo = o.alias("o")
+    rr = r.alias("r")
+    return (
+        oo.join(rr, F.col("o.day") == F.col("r.day"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.day"), F.col("r.day")).alias("day"),
+            F.coalesce(F.col("o.n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("r.n_shipments"), F.lit(0)).alias("n_shipments"),
+            F.when(F.col("o.day").isNull(), "shipments_only")
+            .when(F.col("r.day").isNull(), "orders_only")
+            .otherwise("both")
+            .alias("presence"),
+        )
+    )

@@ -275,6 +275,111 @@ def test_source_overlap_matrix_shape(spark, sf_dir):
     assert (int(got.iloc[0]) if len(got) else 0) == want
 
 
+# ---------------------------------------------------------------------------
+# sequence_packing
+# ---------------------------------------------------------------------------
+def test_sequence_packing_budget_and_determinism(spark, sf_dir):
+    out = _run(spark, sf_dir, "sequence_packing")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert len(out) == len(docs)  # every doc assigned exactly once
+    # within (bucket, seq), the packed token total stays under budget +
+    # one overhanging doc (streaming-fill invariant)
+    tot = out.groupby(["bucket", "seq_id"])["tok_cnt"].sum()
+    maxdoc = out["tok_cnt"].max()
+    assert (tot <= 1024 + maxdoc).all()
+    # sequences within a bucket are contiguous from 0
+    for b, grp in out.groupby("bucket"):
+        seqs = sorted(grp["seq_id"].unique())
+        assert seqs == list(range(len(seqs)))
+    # deterministic across reruns
+    again = _run(spark, sf_dir, "sequence_packing")
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sequence_packing")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------------
+def test_tfidf_top_terms_ranks(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = _run(spark, sf_dir, "tfidf_top_terms")
+    # exactly 3 ranked terms per doc (every doc has >= 3 distinct terms)
+    assert len(out) == 3 * len(docs)
+    assert set(out["rnk"]) == {1, 2, 3}
+    # recompute one doc's scores in Python
+    n_docs = len(docs)
+    tf_all = {}
+    df_all = {}
+    for _, r in docs.iterrows():
+        toks = _norm_tokens(r["text"])
+        tf_all[r["doc_id"]] = pd.Series(toks).value_counts().to_dict()
+    for d in tf_all.values():
+        for t in d:
+            df_all[t] = df_all.get(t, 0) + 1
+    doc0 = docs["doc_id"].iloc[0]
+    scores = sorted(
+        (
+            (-tf * ((n_docs * 1000) // df_all[t]), t)
+            for t, tf in tf_all[doc0].items()
+        )
+    )[:3]
+    sub = out[out["doc_id"] == doc0].sort_values("rnk")
+    assert list(sub["term"]) == [t for _, t in scores]
+    assert list(sub["score_milli"]) == [-s for s, _ in scores]
+
+
+def test_tfidf_uses_window_group_limit(spark, sf_dir):
+    """Per-doc top-3 must compile to WindowGroupLimit (rank heap), not
+    a materialized full sort per group."""
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# dau_mau_stickiness
+# ---------------------------------------------------------------------------
+def test_dau_mau_bounds(spark, sf_dir):
+    out = _run(spark, sf_dir, "dau_mau_stickiness")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    assert len(out) == ev["ts"].dt.to_period("M").nunique()
+    # avg DAU never exceeds MAU; stickiness in (0, 1e6]
+    assert (out["avg_dau_floor"] <= out["mau"]).all()
+    assert (out["stickiness_ppm"] > 0).all()
+    assert (out["stickiness_ppm"] <= 1_000_000).all()
+    # cross-check one month exactly
+    m0 = out.iloc[0]["month"]
+    sub = ev[ev["ts"].dt.to_period("M").dt.start_time.dt.date == m0]
+    assert out.iloc[0]["mau"] == sub["user_id"].nunique()
+
+
+# ---------------------------------------------------------------------------
+# feed_reconcile_daily
+# ---------------------------------------------------------------------------
+def test_feed_reconcile_all_three_states(spark, sf_dir):
+    out = _run(spark, sf_dir, "feed_reconcile_daily")
+    assert set(out["presence"]) == {"both", "orders_only", "shipments_only"}
+    both = out[out["presence"] == "both"]
+    assert (both["n_orders"] > 0).all() and (both["n_shipments"] > 0).all()
+    assert (out[out["presence"] == "orders_only"]["n_shipments"] == 0).all()
+    assert (out[out["presence"] == "shipments_only"]["n_orders"] == 0).all()
+    assert out["day"].is_unique
+
+
+def test_feed_reconcile_aggregates_before_join(spark, sf_dir):
+    """Both sides must reduce to daily grain BEFORE the full-outer join
+    (4 HashAggregates: partial+final per feed) — never a raw-grain
+    fact-to-fact outer join."""
+    plan = _plan(spark, sf_dir, "feed_reconcile_daily")
+    assert "FullOuter" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -288,6 +393,10 @@ def test_source_overlap_matrix_shape(spark, sf_dir):
         "frame_sample_stats",
         "doc_chunks",
         "source_overlap_matrix",
+        "sequence_packing",
+        "tfidf_top_terms",
+        "dau_mau_stickiness",
+        "feed_reconcile_daily",
     ],
 )
 def test_registered_with_oracle(name):
