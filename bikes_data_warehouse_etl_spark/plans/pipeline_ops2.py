@@ -523,8 +523,10 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out is bounded by |sources| (not row count), so the self-join
     emits at most |sources|²/2 pairs per shingle and the output is a
     tiny matrix regardless of corpus size. The join key is the 8-byte
-    shingle hash; both sides reuse one exchange (self-join on the same
-    distinct-reduced child).
+    shingle hash; at test scale AQE broadcasts one side of the
+    self-join, and past the broadcast threshold it becomes a sort-merge
+    join whose two sides hash-partition the same distinct-reduced
+    child — either way no raw text moves.
     """
     d = _t(spark, sf_dir, "documents")
     tokd = d.select("source", tokens(F.col("text")).alias("__toks__"))
