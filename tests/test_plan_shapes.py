@@ -119,3 +119,49 @@ def test_fuzzy_pairs_blocking_key_multiplies_blocks(spark, sf_dir):
         .count()
     )
     assert n_blocks > 25
+
+
+def test_active_orders_sweep_window_is_post_aggregation(spark, sf_dir):
+    """The running-sum window must consume the per-day aggregate (|days|
+    rows), never the per-order delta stream: exactly one Window, fed by
+    a HashAggregate on day, and the lineitem reduction partial-aggs
+    map-side before its shuffle."""
+    plan = _plan(spark, sf_dir, "active_orders_daily")
+    assert plan.count("Window") >= 1
+    assert "HashAggregate" in plan
+    # window input is the day-grouped aggregate: the single-partition
+    # exchange appears after aggregation, so it moves |days| rows
+    agg_pos = plan.index("HashAggregate")
+    win_pos = plan.index("Window")
+    assert win_pos < agg_pos  # plan prints top-down: Window above its agg
+
+
+def test_event_transition_normalisation_is_on_matrix(spark, sf_dir):
+    """The per-prev normalisation window runs over the 25-row
+    transition matrix, not the raw events: exactly three hash
+    exchanges — user_id for LAG (the only one that moves event-scale
+    data), then (prev,next) for the map-side-combined count and
+    prev_type for the window, both over |event_types|²-row inputs."""
+    plan = _plan(spark, sf_dir, "event_transition_matrix")
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_is_scan_local(spark, sf_dir):
+    """Redaction must stay row-local codegen: zero exchanges, zero
+    aggregates, zero Python — the property that makes it free at
+    100 TB."""
+    plan = _plan(spark, sf_dir, "pii_scrub_stats")
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+    assert "Python" not in plan
+
+
+def test_dedup_keep_best_single_exchange_no_text(spark, sf_dir):
+    """row_number and the cluster-size count share one window spec →
+    one Exchange on the 64-bit fp; the shuffled schema must not carry
+    the document text."""
+    plan = _plan(spark, sf_dir, "dedup_keep_best")
+    assert plan.count("Exchange hashpartitioning") == 1
+    shuffled = plan.split("Exchange hashpartitioning")[1].splitlines()[0]
+    assert "text" not in shuffled
