@@ -165,3 +165,52 @@ def test_dedup_keep_best_single_exchange_no_text(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     shuffled = plan.split("Exchange hashpartitioning")[1].splitlines()[0]
     assert "text" not in shuffled
+
+
+def test_winsorize_windows_run_on_histogram(spark, sf_dir):
+    """Percentile selection must consume the (seg, cents) histogram,
+    not raw orders: the Window sits above a HashAggregate, the
+    5-row threshold join broadcasts, and no sort of the raw table
+    appears (the only Sort is the window's per-partition histogram
+    sort)."""
+    plan = _plan(spark, sf_dir, "winsorized_price_stats")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    win_pos = plan.index("Window")
+    agg_pos = plan.index("HashAggregate", win_pos)
+    assert agg_pos > win_pos  # top-down print: histogram agg feeds the window
+
+
+def test_bigram_pmi_topk_and_no_cartesian(spark, sf_dir):
+    """Top-50 selection must be TakeOrderedAndProject (per-partition
+    heaps, no global sort); the 1-row totals join is a broadcast
+    nested loop, never a CartesianProduct."""
+    plan = _plan(spark, sf_dir, "bigram_pmi_top")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_event_drift_single_event_scale_shuffle(spark, sf_dir):
+    """Exactly one hash exchange moves event-scale data (the
+    event_type aggregate); the share windows run single-partition
+    over the |event_types|-row profile."""
+    plan = _plan(spark, sf_dir, "event_drift")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_incremental_merge_is_two_level_agg(spark, sf_dir):
+    """Daily partials then monthly merge: two aggregate pairs, no
+    join, no window — the decomposable-stats merge shape."""
+    plan = _plan(spark, sf_dir, "incremental_agg_merge")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_train_split_no_text_in_shuffle(spark, sf_dir):
+    """The distinct-cluster count shuffles (split, lang, fp) — the
+    64-bit fingerprint, never the document text."""
+    plan = _plan(spark, sf_dir, "train_split_assign")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
