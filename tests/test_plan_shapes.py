@@ -214,3 +214,37 @@ def test_train_split_no_text_in_shuffle(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line
+
+
+def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
+    """The join key must be (l_orderkey, __salt__) — a hot order key
+    spreads over the salt space — and the salt is gone from the
+    output schema."""
+    q = QUERIES["salted_join_revenue"].spark(spark, sf_dir)
+    assert "__salt__" not in q.columns
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "__salt__" in plan  # participates in the join/exchange keys
+
+
+def test_two_phase_agg_has_three_aggregate_levels(spark, sf_dir):
+    """Partial-by-(key, salt) then final-by-key: the plan carries two
+    exchange stages (salted, then key-only), each with map-side
+    partial aggregation."""
+    plan = _plan(spark, sf_dir, "two_phase_agg_supplier")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "__salt__" in plan
+
+
+def test_oov_vocab_is_broadcast_topk(spark, sf_dir):
+    """The vocabulary must be TakeOrderedAndProject (top-1000, no
+    global sort) and join back via BroadcastHashJoin — the corpus
+    side never shuffles for membership tagging."""
+    plan = _plan(spark, sf_dir, "oov_rate")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "boilerplate_shingles")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
