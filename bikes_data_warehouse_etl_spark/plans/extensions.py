@@ -345,7 +345,10 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_NEARDUP = f"""
+# Shared CTE block: distinct shingles → 64-bit hashes → per-doc sizes →
+# pairs sharing ≥1 shingle. Reused by neardup_jaccard here and by the
+# asymmetric-containment query in plans/pipeline_ops6.py.
+_SQL_NEARDUP_CTES = f"""
     WITH sh_str AS (
       SELECT doc_id AS id, unnest(list_distinct({_SQL_SHINGLES})) AS s
       FROM documents
@@ -356,7 +359,10 @@ _SQL_NEARDUP = f"""
       SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
       FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
       GROUP BY a.id, b.id
-    )
+    )"""
+
+_SQL_NEARDUP = f"""
+    {_SQL_NEARDUP_CTES}
     SELECT id_a, id_b, common,
            sa.n_sh AS n_a, sb.n_sh AS n_b,
            CAST(FLOOR(common * 10000 / (sa.n_sh + sb.n_sh - common)) AS BIGINT) AS jaccard_bp
