@@ -248,3 +248,72 @@ def test_boilerplate_topk_no_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "boilerplate_shingles")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cdc_full_diff_is_fullouter_sortmerge(spark, sf_dir):
+    """Snapshot diff joins two fact-sized sides: FULL OUTER must stay a
+    shuffle join (Spark cannot broadcast a full outer hash join on the
+    build side of fact data) and never a nested-loop/cartesian."""
+    plan = _plan(spark, sf_dir, "cdc_full_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_percentile_rank_window_runs_on_histogram(spark, sf_dir):
+    """The per-lang percent-rank must be derived from the
+    (lang, n_chars) histogram — Window above a HashAggregate — and the
+    rank table must broadcast back to the raw rows (no second shuffle
+    of the documents table)."""
+    plan = _plan(spark, sf_dir, "percentile_rank_chars")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    win_pos = plan.index("Window")
+    assert plan.index("HashAggregate", win_pos) > win_pos
+
+
+def test_source_quota_cap_single_exchange(spark, sf_dir):
+    """The per-source rank needs exactly one hash exchange (on
+    source); the ranked filter is a WindowGroupLimit-eligible
+    rk <= K predicate over that single shuffle."""
+    plan = _plan(spark, sf_dir, "source_quota_cap")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_savings_no_text_in_shuffle(spark, sf_dir):
+    """Both aggregation levels (per-fp, then per-cluster-size) shuffle
+    fixed-width longs only — the document text is consumed by the
+    fingerprint projection inside the scan stage and never moves."""
+    plan = _plan(spark, sf_dir, "dedup_savings")
+    assert plan.count("Exchange hashpartitioning") == 2
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+
+
+def test_zorder_interleave_is_codegen_no_python(spark, sf_dir):
+    """The Morton interleave must be pure JVM integer arithmetic
+    (whole-stage codegen, no Python evaluation) feeding one
+    map-side-combined shuffle over ≤64 bucket keys."""
+    plan = _plan(spark, sf_dir, "zorder_locality")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_embedding_norms_fold_without_explode(spark, sf_dir):
+    """The squared-norm reduction is a higher-order aggregate over the
+    array column — no Generate/explode stage (contrast
+    label_centroids, which must explode for per-dimension outputs)."""
+    plan = _plan(spark, sf_dir, "embedding_norm_stats")
+    assert "Generate" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_cogroup_uses_arrow_cogroup(spark, sf_dir):
+    """The as-of extension point must compile to the Arrow cogroup
+    operator, with the view side pre-aggregated (HashAggregate below
+    the cogroup) so pandas sees the minimal frame."""
+    plan = _plan(spark, sf_dir, "asof_cogroup")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "HashAggregate" in plan
