@@ -317,3 +317,86 @@ def test_asof_cogroup_uses_arrow_cogroup(spark, sf_dir):
     plan = _plan(spark, sf_dir, "asof_cogroup")
     assert "FlatMapCoGroupsInPandas" in plan
     assert "HashAggregate" in plan
+
+
+def test_grouping_sets_expand_before_single_shuffle(spark, sf_dir):
+    """Grouping sets must compile to the Expand operator (map-side row
+    multiplication for all requested levels) feeding ONE hash exchange
+    — never one aggregate per set; dimension joins broadcast."""
+    plan = _plan(spark, sf_dir, "grouping_sets_revenue")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_session_paths_one_event_scale_shuffle(spark, sf_dir):
+    """Sessionize + both LAG windows must share a single user_id
+    exchange (hash partitioning on user_id satisfies the (user_id,
+    sess) clustering — only a Sort is inserted); the second exchange
+    is the ≤|types|³-key trigram aggregate."""
+    plan = _plan(spark, sf_dir, "session_paths")
+    ex = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(ex) == 2
+    assert sum("user_id" in line for line in ex) == 1
+
+
+def test_pit_dim_join_fact_never_shuffles(spark, sf_dir):
+    """The point-in-time join must broadcast the versioned dim: zero
+    hash exchanges — the fact flows scan→join→project untouched."""
+    plan = _plan(spark, sf_dir, "pit_dim_join")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_copurchase_no_cartesian_bounded_fanout(spark, sf_dir):
+    """The basket self-join must stay an equi-join on the order key
+    (fan-out bounded by basket size), never a cartesian/NLJ."""
+    plan = _plan(spark, sf_dir, "copurchase_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_audit_sketch_and_broadcast_certify(spark, sf_dir):
+    """Both sketches compute in one grouped pass over the fact; the
+    rank certification joins the |priorities|-row stats back via
+    broadcast — two hash exchanges total, both on the tiny priority
+    key."""
+    plan = _plan(spark, sf_dir, "quantile_sketch_audit")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_source_rebalance_rates_broadcast_back(spark, sf_dir):
+    """The rate table must broadcast back to the corpus (the keep
+    decision is row-local); the MAX-normalization window runs on the
+    |sources|-row aggregate (one SinglePartition exchange of tiny
+    data), never on the corpus."""
+    plan = _plan(spark, sf_dir, "source_rebalance_sample")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_vocab_curve_window_on_vocabulary(spark, sf_dir):
+    """Term counting must map-side combine through one hash exchange;
+    the ranking window consumes the vocabulary-sized aggregate via a
+    single-partition exchange — corpus rows never sort globally."""
+    plan = _plan(spark, sf_dir, "vocab_coverage_curve")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    win_pos = plan.index("Window")
+    assert plan.index("HashAggregate", win_pos) > win_pos
+
+
+def test_quant_error_fold_no_explode(spark, sf_dir):
+    """The quantization-error reduction folds the array in place — no
+    Generate stage, no Python evaluation, one (label, long) shuffle."""
+    plan = _plan(spark, sf_dir, "embedding_quant_error")
+    assert "Generate" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
