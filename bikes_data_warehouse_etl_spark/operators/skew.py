@@ -84,3 +84,35 @@ def two_phase_agg(
     return partial.groupBy(*key_list).agg(
         *[F.sum(c).alias(f"sum_{c}") for c in sum_cols]
     )
+
+
+def null_split_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """LEFT JOIN that routes null-key rows *around* the shuffle.
+
+    Null join keys never match, but a plain left join still shuffles
+    them — and because every NULL hashes to the same value, they all
+    land on ONE reducer: the classic silent straggler when 30% of a
+    fact's foreign key is null (unattributed events, guest checkouts).
+    Here the null-key rows split off as a scan-local filter, skip the
+    join entirely, and re-enter via a narrow union with the right
+    side's columns typed-null — row-identical to the plain left join
+    (proved by the `null_skew_join` oracle hash), minus the hot
+    partition.
+
+    Precondition: ``left`` and ``right`` share no column names (the
+    usual projected-join contract).
+    """
+    matched = left.filter(F.col(left_key).isNotNull()).join(
+        right, F.col(left_key) == F.col(right_key), "left"
+    )
+    nulls = left.filter(F.col(left_key).isNull())
+    for field in right.schema.fields:
+        nulls = nulls.withColumn(
+            field.name, F.lit(None).cast(field.dataType)
+        )
+    return matched.unionByName(nulls)

@@ -400,3 +400,27 @@ def test_quant_error_fold_no_explode(spark, sf_dir):
     assert "Generate" not in plan
     assert "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_null_skew_join_routes_nulls_around_join(spark, sf_dir):
+    """The null-key branch must bypass the join via Union — no hash
+    exchange anywhere at test scale (dim broadcasts), and never a
+    cartesian. The semantic proof is the oracle hash vs the plain
+    left join."""
+    plan = _plan(spark, sf_dir, "null_skew_join")
+    assert "Union" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_late_arrival_running_max_on_blocks(spark, sf_dir):
+    """The running max must consume the per-minute block aggregate
+    (Window above a HashAggregate, via one SinglePartition exchange of
+    block rows) and broadcast back — raw events never sort globally."""
+    plan = _plan(spark, sf_dir, "late_arrival_profile")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    win_pos = plan.index("Window")
+    assert plan.index("HashAggregate", win_pos) > win_pos
