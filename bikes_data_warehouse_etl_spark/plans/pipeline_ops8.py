@@ -100,10 +100,13 @@ def q_deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast membership marks (never IN-subquery materialization on
     the driver), and each table is scanned exactly ONCE — purge/keep
     counts come from one conditional aggregate over the mark, not a
-    count per branch. The customer-level list broadcasts by
-    construction (deletion requests ≪ customers); the order-key set
-    for the lineitem mark is deletion-proportional — AQE picks
-    broadcast vs shuffle as it grows.
+    count per branch. All three levels live in ONE lazy plan (a union
+    of single-row aggregates — no per-level collect, no driver
+    round-trips), so the whole audit is a single job. The
+    customer-level list broadcasts by construction (deletion requests
+    ≪ customers); the order-key set for the lineitem mark is
+    deletion-proportional — AQE picks broadcast vs shuffle as it
+    grows.
     """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -115,7 +118,7 @@ def q_deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         del_keys, o["o_custkey"] == del_keys["dk"], "left_semi"
     ).select(F.col("o_orderkey").alias("pk"))
 
-    def audit(df, mark_col):
+    def audit(df, mark_col, entity):
         purged = F.sum(
             F.when(F.col(mark_col).isNotNull(), 1).otherwise(0)
         ).cast("long")
@@ -124,21 +127,24 @@ def q_deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         return df.agg(
             purged.alias("n_purged"), kept.alias("n_kept")
-        ).collect()[0]
+        ).select(F.lit(entity).alias("entity"), "n_purged", "n_kept")
 
-    rc = audit(
-        c.join(del_keys, c["c_custkey"] == del_keys["dk"], "left"), "dk"
-    )
-    ro = audit(o.join(del_keys, o["o_custkey"] == del_keys["dk"], "left"), "dk")
-    rl = audit(li.join(od, li["l_orderkey"] == od["pk"], "left"), "pk")
-
-    rows = [
-        ("customer", rc.n_purged, rc.n_kept),
-        ("orders", ro.n_purged, ro.n_kept),
-        ("lineitem", rl.n_purged, rl.n_kept),
-    ]
-    return spark.createDataFrame(
-        rows, "entity string, n_purged long, n_kept long"
+    return (
+        audit(
+            c.join(del_keys, c["c_custkey"] == del_keys["dk"], "left"),
+            "dk",
+            "customer",
+        )
+        .unionByName(
+            audit(
+                o.join(del_keys, o["o_custkey"] == del_keys["dk"], "left"),
+                "dk",
+                "orders",
+            )
+        )
+        .unionByName(
+            audit(li.join(od, li["l_orderkey"] == od["pk"], "left"), "pk", "lineitem")
+        )
     )
 
 

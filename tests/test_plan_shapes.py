@@ -424,3 +424,15 @@ def test_late_arrival_running_max_on_blocks(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") == 1
     win_pos = plan.index("Window")
     assert plan.index("HashAggregate", win_pos) > win_pos
+
+
+def test_deletion_cascade_single_plan(spark, sf_dir):
+    """All three cascade levels must live in ONE lazy plan — a Union
+    of per-level conditional aggregates (partial+final pairs), with
+    the deletion list applied as a broadcast mark, never a per-level
+    collect (the 11.5 s → 1.5 s rewrite in PERF.md)."""
+    plan = _plan(spark, sf_dir, "deletion_cascade_audit")
+    assert "Union" in plan
+    assert plan.count("HashAggregate") >= 6
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
