@@ -426,6 +426,46 @@ def test_late_arrival_running_max_on_blocks(spark, sf_dir):
     assert plan.index("HashAggregate", win_pos) > win_pos
 
 
+def test_heavy_hitters_sketch_prune(spark, sf_dir):
+    """Pass 2's plan must be a single token scan (one Generate) gated
+    by a broadcast semi-join on the heavy-bucket list — the full
+    vocabulary must never sort or range-partition. (Pass 1 is the
+    separate bounded 8 192-bucket sketch job.)"""
+    plan = _plan(spark, sf_dir, "heavy_hitter_tokens")
+    assert plan.count("Generate") == 1
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_range_split_planner_histogram_only(spark, sf_dir):
+    """Split points must come from the bounded value histogram — no
+    range partitioning / global sort of the fact, no sampling; the
+    15-target join is a broadcast loop over ~600 histogram rows."""
+    plan = _plan(spark, sf_dir, "range_split_planner")
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_ship_sla_window_on_histogram(spark, sf_dir):
+    """The percentile window must consume the (prio, day) histogram
+    aggregate, never the raw joined fact rows."""
+    plan = _plan(spark, sf_dir, "ship_sla_percentiles")
+    assert "Window" in plan
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:]
+    assert "CartesianProduct" not in plan
+
+
+def test_trade_matrix_dual_role_broadcast(spark, sf_dir):
+    """nation joins in two roles — both must be broadcast build sides;
+    no cartesian anywhere in the 6-table join."""
+    plan = _plan(spark, sf_dir, "nation_trade_matrix")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
 def test_deletion_cascade_single_plan(spark, sf_dir):
     """All three cascade levels must live in ONE lazy plan — a Union
     of per-level conditional aggregates (partial+final pairs), with
