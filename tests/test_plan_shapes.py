@@ -466,6 +466,35 @@ def test_trade_matrix_dual_role_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_join_size_estimate_never_joins_rows(spark, sf_dir):
+    """Both the sketch and the exact cardinality must come from
+    joined COUNT aggregates — four scans total (2 per fact), and the
+    fact rows themselves are never row-joined; the only Cross is the
+    two single-row results meeting."""
+    plan = _plan(spark, sf_dir, "join_size_estimate")
+    assert plan.count("FileScan") == 4
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_last_touch_window_no_global_sort(spark, sf_dir):
+    """The per-user ordered walk must be a partitioned Window (sort
+    within user partitions), never a global range sort."""
+    plan = _plan(spark, sf_dir, "last_touch_attribution")
+    assert "Window" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_negative_samples_anti_join_on_distinct(spark, sf_dir):
+    """Candidate rejection must be a LeftAnti against the
+    distinct-reduced purchase pairs (aggregate below the anti join),
+    with candidate generation explode row-local."""
+    plan = _plan(spark, sf_dir, "negative_samples")
+    assert "LeftAnti" in plan
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_deletion_cascade_single_plan(spark, sf_dir):
     """All three cascade levels must live in ONE lazy plan — a Union
     of per-level conditional aggregates (partial+final pairs), with
