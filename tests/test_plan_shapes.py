@@ -505,3 +505,41 @@ def test_deletion_cascade_single_plan(spark, sf_dir):
     assert plan.count("HashAggregate") >= 6
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_min_cost_supplier_single_aggregate(spark, sf_dir):
+    """The Q2-style min-per-group element selection must be ONE
+    aggregate over one partkey shuffle (struct-min decorrelation) —
+    never the join-back form, which would show a second Exchange and
+    a SortMergeJoin of the fact against itself."""
+    plan = _plan(spark, sf_dir, "min_cost_supplier")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_revenue_share_single_fact_scan(spark, sf_dir):
+    """Q11's global-total scalar must be a window over the ≤25-row
+    nation rollup, not a second fact scan: exactly one lineitem scan
+    and the nation dim broadcast."""
+    plan = _plan(spark, sf_dir, "revenue_share_nations")
+    assert plan.count("lineitem.parquet") <= 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_supplier_single_fact_scan(spark, sf_dir):
+    """Q15's max-with-ties must derive the global max from the
+    per-supplier rollup (window over the rollup), scanning lineitem
+    exactly once — the scalar-subquery form scans it twice."""
+    plan = _plan(spark, sf_dir, "top_supplier_revenue")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_rich_inactive_pushdown_and_anti(spark, sf_dir):
+    """Q22's NOT EXISTS must be a LeftAnti with the recency predicate
+    pushed into the orders scan (PushedFilters), and the scalar
+    average applied via broadcast, not a rescan."""
+    plan = _plan(spark, sf_dir, "rich_inactive_customers")
+    assert "LeftAnti" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
