@@ -361,7 +361,8 @@ _SQL_NEARDUP_CTES = f"""
       GROUP BY a.id, b.id
     )"""
 
-_SQL_NEARDUP = f"""
+def _sql_neardup(threshold_bp: int = 2000) -> str:
+    return f"""
     {_SQL_NEARDUP_CTES}
     SELECT id_a, id_b, common,
            sa.n_sh AS n_a, sb.n_sh AS n_b,
@@ -369,8 +370,11 @@ _SQL_NEARDUP = f"""
     FROM pairs
     JOIN sizes sa ON sa.id = id_a
     JOIN sizes sb ON sb.id = id_b
-    WHERE FLOOR(common * 10000 / (sa.n_sh + sb.n_sh - common)) >= 2000
+    WHERE FLOOR(common * 10000 / (sa.n_sh + sb.n_sh - common)) >= {threshold_bp}
     """
+
+
+_SQL_NEARDUP = _sql_neardup(2000)
 
 
 @_q("neardup_jaccard", _SQL_NEARDUP)
@@ -398,20 +402,35 @@ def q_neardup_jaccard_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("lsh_candidates_fast", None)  # xxhash64 has no DuckDB twin → rows-only
+@_q("lsh_candidates_fast", _sql_neardup(8000))
 def q_lsh_candidates_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production-hash twin of ``lsh_candidates`` (signatures + banding
-    under ``xxhash64``). Minhash values — hence buckets and candidate
-    pairs — depend on the hash family, so no cross-engine oracle exists;
-    tests/test_text_dedup.py pins self-consistency instead (the fast
-    path must recover the corpus's verified high-Jaccard pairs)."""
+    """Production-hash LSH dedup pipeline end-to-end: xxhash64 minhash
+    signatures → banded bucket join → candidate pairs → exact-Jaccard
+    verification at 0.8. The emitted VERIFIED pair set is
+    hash-function-independent whenever the LSH stage has full recall at
+    the verify threshold, so the md5-free production path gets a real
+    DuckDB oracle (the raw candidate set, by contrast, depends on the
+    hash family — that unverifiable intermediate is no longer emitted).
+
+    Recall argument: a J=0.8 pair misses all 4 two-row bands with
+    probability (1-J²)⁴ ≈ 1.7 %; J=1 pairs are recovered under ANY
+    injective hash (identical shingle sets ⇒ identical signatures).
+    Empirically recall is exactly 1 at sf0.001/0.01/0.1 (28/25/256
+    pairs, verified vs the exhaustive exact-Jaccard set). At 100 TB,
+    widen to 16 hashes × 8 bands (miss ≈ 2.8e-4) or 1-row bands
+    (miss ≈ (1-J)⁸) if the residual miss rate matters; the verify
+    stage re-scores candidates exactly either way, so precision is
+    always 1."""
     from bikes_data_warehouse_etl_spark.functions.text import hash64_fast
     from bikes_data_warehouse_etl_spark.operators.dedup import minhash_candidates
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_candidates(
+    cand = minhash_candidates(
         d, n_hashes=8, bands=4, max_bucket=50, hash_fn=hash64_fast
-    ).select("id_a", "id_b", F.col("band_matches").cast("long").alias("band_matches"))
+    )
+    return ngram_jaccard_pairs(
+        d, threshold=0.8, candidates=cand, hash_fn=hash64_fast
+    )
 
 
 @_q(

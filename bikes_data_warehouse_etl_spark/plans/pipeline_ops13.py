@@ -315,12 +315,18 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     blamed = per_order.where(
         (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
     )
-    # numwait counts LATE LINES of the blamed supplier per order
-    late_lines = lines.where(F.col("late") == 1).select("ok", "sk")
+    # numwait counts LATE LINES of the blamed supplier per order.
+    # The late-lines side renames its columns before the join: both
+    # frames descend from `lines`, and joining on `blamed.ok ==
+    # late_lines.ok` relies on Spark's ambiguous-self-join
+    # auto-disambiguation (and warns "trivially true equals predicate").
+    late_lines = lines.where(F.col("late") == 1).select(
+        F.col("ok").alias("ll_ok"), F.col("sk").alias("ll_sk")
+    )
     return (
         blamed.join(
             late_lines,
-            (blamed.ok == late_lines.ok) & (blamed.late_sk == late_lines.sk),
+            (F.col("ok") == F.col("ll_ok")) & (F.col("late_sk") == F.col("ll_sk")),
         )
         .join(s, F.col("late_sk") == F.col("s_suppkey"))
         .groupBy("s_name")

@@ -309,7 +309,7 @@ def q_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     tagged = ev.select(
         "event_type",
-        F.when(F.col("ts").cast("long") < 1705363200, 1)
+        F.when(F.unix_timestamp("ts") < 1705363200, 1)
         .otherwise(0)
         .alias("early"),
         F.round(F.col("value") * 100, 0).cast("long").alias("vc"),

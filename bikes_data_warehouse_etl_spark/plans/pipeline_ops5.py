@@ -391,7 +391,7 @@ def q_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly); the share window runs over the 6-row histogram.
     """
     ev = _t(spark, sf_dir, "events")
-    es = F.col("ts").cast("long")
+    es = F.unix_timestamp("ts").cast("long")
     seq = ev.select(
         es.alias("es"),
         F.lag(es)

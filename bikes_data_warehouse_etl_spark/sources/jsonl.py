@@ -65,18 +65,25 @@ def read_documents_jsonl(
     )
 
 
-def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split a PERMISSIVE read into (good, quarantine).
+def split_corrupt(
+    df: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split a PERMISSIVE read into (good, quarantine, cached).
 
     Spark requires caching/materializing the parsed frame before
     filtering on the corrupt column (the parser is lazy and
     re-parsing would race the filter) — the referenced quarantine
     pattern from the Spark JSON datasource docs.
+
+    The third element is the cached parent frame: callers MUST call
+    ``cached.unpersist()`` once both splits are materialized, or the
+    cache leaks in long-lived sessions (one leaked frame per
+    PERMISSIVE ingest).
     """
     df = df.cache()
     good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     bad = df.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT)
-    return good, bad
+    return good, bad, df
 
 
 def write_jsonl(df: DataFrame, path: str) -> None:

@@ -35,12 +35,15 @@ def test_failfast_raises_on_malformed(spark, tmp_path):
 def test_permissive_quarantines_malformed(spark, tmp_path):
     path = _write(tmp_path, GOOD + [BAD])
     df = read_documents_jsonl(spark, path, mode="PERMISSIVE")
-    good, bad = split_corrupt(df)
+    good, bad, cached = split_corrupt(df)
     assert good.count() == 2
     assert {r.doc_id for r in good.collect()} == {1, 2}
     quarantined = bad.collect()
     assert len(quarantined) == 1
     assert quarantined[0][0].startswith('{"doc_id": 3')
+    assert cached.storageLevel.useMemory
+    cached.unpersist(blocking=True)
+    assert not cached.storageLevel.useMemory
 
 
 def test_clean_read_and_roundtrip(spark, tmp_path):

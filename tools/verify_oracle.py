@@ -52,9 +52,11 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
@@ -87,7 +89,7 @@ def main() -> int:
                         print(f"  spark : {a}\n  duckdb: {b}")
                         break
             failures.append(name)
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    print(f"\n{n_run - len(failures)}/{n_run} queries match")
     return 1 if failures else 0
 
 
