@@ -5,15 +5,30 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf>}
 
 Each query is forced with the noop sink (full compute, no driver-side
-collect cost). A warmup pass on sf0.001-sized metadata is skipped —
-the first query absorbs JVM/codegen warmup, which is honest for a
-batch engine.
+collect cost). Every query is timed SPARK_GRAFT_BENCH_RUNS times
+(default 3) in interleaved passes and the reported time is the
+per-query MEDIAN: single-shot timings at sub-second scale jitter ±1.8×
+with JVM/GC/host noise (the r03 bench showed symmetric ±1.8× swings on
+untouched code), which a median absorbs while a lone sample cannot.
+Pass 1 still absorbs JVM/codegen warmup — honest for a batch engine —
+but the median discards that pass unless the query is genuinely slow.
+
+Two regression lists ship in the JSON line:
+  * ``regressions_vs_r1``   — vs the round-1 floor (BENCH_r01.json),
+    the driver's long-horizon gate.
+  * ``regressions_vs_prev`` — vs the LATEST ``BENCH_r{N}.json`` in the
+    repo, so a round-over-round slide (r03: heavy_hitter_tokens
+    2.44 s → 6.00 s, invisible to the r1 gate) is flagged the round it
+    happens.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import statistics
 import sys
 import time
 
@@ -22,8 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bikes_data_warehouse_etl_spark.session import get_spark  # noqa: E402
 from bikes_data_warehouse_etl_spark.plans import QUERIES  # noqa: E402
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 
-def regressions_vs_baseline(
+
+def regressions_vs(
     timings: dict[str, float], baseline_path: str, threshold: float = 1.5
 ) -> list[str]:
     """Per-query regression gate vs a prior round's BENCH json.
@@ -41,12 +58,14 @@ def regressions_vs_baseline(
         # estimate, so the r1 floor (estimate only) is obsolete.
         "approx_distinct_parts",
     }
-    if not os.path.exists(baseline_path):
+    if not baseline_path or not os.path.exists(baseline_path):
         return []
     with open(baseline_path) as f:
         doc = json.load(f)
-    # driver's BENCH_r{N}.json wraps the bench line under "parsed"
-    base = doc.get("parsed", doc).get("queries", {})
+    # driver's BENCH_r{N}.json wraps the bench line under "parsed" —
+    # which can be null when the driver's own capture truncated (r03),
+    # so fall through to {} rather than crash on a None
+    base = ((doc.get("parsed") or doc).get("queries")) or {}
     return sorted(
         name
         for name, t in timings.items()
@@ -57,39 +76,50 @@ def regressions_vs_baseline(
     )
 
 
+def latest_bench_json() -> str | None:
+    """The newest round's BENCH_r{N}.json with USABLE per-query data
+    (a round whose driver-side capture truncated has ``parsed: null``
+    and can't serve as a baseline — fall back to the round before)."""
+    rounds = []
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    for _, p in sorted(rounds, reverse=True):
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if ((doc.get("parsed") or doc).get("queries")) or {}:
+            return p
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     spark = get_spark("bench")
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name, spec in QUERIES.items():
-        t0 = time.perf_counter()
-        df = spec.spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+    samples: dict[str, list[float]] = {name: [] for name in QUERIES}
+    for _ in range(n_runs):
+        for name, spec in QUERIES.items():
+            t0 = time.perf_counter()
+            df = spec.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
 
-    baseline = os.environ.get(
-        "SPARK_GRAFT_BENCH_BASELINE",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json"),
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
+    total = sum(timings.values())
+
+    r1_baseline = os.environ.get(
+        "SPARK_GRAFT_BENCH_BASELINE", os.path.join(REPO, "BENCH_r01.json")
     )
-    regressed = regressions_vs_baseline(timings, baseline)
-    # transient-load guard: a single-shot timing can triple under JVM/GC
-    # or host noise. Re-measure only the flagged queries and keep the
-    # best of the two runs — a real regression reproduces, noise doesn't.
-    for name in regressed:
-        t0 = time.perf_counter()
-        QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        dt = time.perf_counter() - t0
-        if dt < timings[name]:
-            total -= timings[name] - round(dt, 3)
-            timings[name] = round(dt, 3)
-    regressed = regressions_vs_baseline(timings, baseline)
+    regressed_r1 = regressions_vs(timings, r1_baseline)
+    regressed_prev = regressions_vs(timings, latest_bench_json())
 
     print(
         json.dumps(
@@ -99,12 +129,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
-                "regressions_vs_r1": regressed,
+                "runs_per_query": n_runs,
+                "regressions_vs_r1": regressed_r1,
+                "regressions_vs_prev": regressed_prev,
             }
         )
     )
     # strict mode (local/CI use): non-zero exit on any per-query regression
-    if regressed and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+    if (regressed_r1 or regressed_prev) and os.environ.get(
+        "SPARK_GRAFT_BENCH_STRICT"
+    ):
         sys.exit(1)
 
 

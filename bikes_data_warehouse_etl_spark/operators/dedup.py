@@ -378,6 +378,7 @@ def neardup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: min-label
     propagation until fixpoint. Returns (node, component_id) for every
@@ -397,6 +398,17 @@ def neardup_components(
     round, never data. At extreme scale swap in the large-star/
     small-star iteration (Kiveris et al.) — same per-round plan shape,
     provably fewer rounds on deep chains.
+
+    Lineage is truncated with an eager ``localCheckpoint`` every
+    ``checkpoint_every`` iterations: without it the logical plan nests
+    one join+aggregate per round, so a diameter-d graph builds an O(d)-
+    deep plan — analyzer/optimizer time grows superlinearly and long
+    chains stack-overflow Catalyst. The unpersist order is
+    deliberately conservative: a checkpoint's blocks are the ONLY
+    source for its descendants (no lineage to fall back on), so the
+    previous checkpoint is released only after the next one has fully
+    materialized, never while a descendant might still recompute from
+    it.
     """
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
@@ -412,13 +424,20 @@ def neardup_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(max_iter):
+    last_ckpt = None
+    for i in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
         new_labels = (
             labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
-        ).persist()
+        )
+        is_ckpt = (i + 1) % checkpoint_every == 0
+        if is_ckpt:
+            # eager: materializes every partition AND truncates lineage
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -426,9 +445,23 @@ def neardup_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        prev, labels = labels, new_labels
+        if prev is not last_ckpt:
+            # intermediates keep their lineage — dropping them is at
+            # worst a recompute back to the last checkpoint
+            prev.unpersist()
+        if is_ckpt:
+            if last_ckpt is not None and last_ckpt is not prev:
+                last_ckpt.unpersist()
+            elif last_ckpt is prev:
+                prev.unpersist()
+            last_ckpt = labels
         if changed == 0:
             break
     edges.unpersist()
+    if last_ckpt is not None and last_ckpt is not labels:
+        # materialize the final labels before dropping the checkpoint
+        # they may still need to recompute from
+        labels.count()
+        last_ckpt.unpersist()
     return labels.select("node", F.col("label").alias("component_id"))

@@ -412,15 +412,22 @@ def q_lsh_candidates_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle (the raw candidate set, by contrast, depends on the
     hash family — that unverifiable intermediate is no longer emitted).
 
-    Recall argument: a J=0.8 pair misses all 4 two-row bands with
-    probability (1-J²)⁴ ≈ 1.7 %; J=1 pairs are recovered under ANY
-    injective hash (identical shingle sets ⇒ identical signatures).
-    Empirically recall is exactly 1 at sf0.001/0.01/0.1 (28/25/256
-    pairs, verified vs the exhaustive exact-Jaccard set). At 100 TB,
-    widen to 16 hashes × 8 bands (miss ≈ 2.8e-4) or 1-row bands
-    (miss ≈ (1-J)⁸) if the residual miss rate matters; the verify
-    stage re-scores candidates exactly either way, so precision is
-    always 1."""
+    Recall argument — with its preconditions, which are CHECKED, not
+    assumed: a J=0.8 pair misses all 4 two-row bands with probability
+    (1-J²)⁴ ≈ 1.7 %; J=1 pairs are recovered under any injective hash
+    (identical shingle sets ⇒ identical signatures) *provided no
+    bucket exceeds the max_bucket=50 skew cap* — a dropped boilerplate
+    bucket loses even identical-doc pairs, so the oracle equality is
+    data-dependent. `tests/test_text_dedup.py::
+    test_lsh_candidates_fast_recall_precondition` pins
+    `lsh_dropped_buckets == 0` with these exact LSH parameters at the
+    oracle-checked sfs; empirically recall is exactly 1 at
+    sf0.001/0.01/0.1 (28/25/256 pairs, verified vs the exhaustive
+    exact-Jaccard set). At 100 TB, widen to 16 hashes × 8 bands
+    (miss ≈ 2.8e-4) or 1-row bands (miss ≈ (1-J)⁸) if the residual
+    miss rate matters — and keep `lsh_dropped_buckets` in the job as
+    the coverage alert; the verify stage re-scores candidates exactly
+    either way, so precision is always 1."""
     from bikes_data_warehouse_etl_spark.functions.text import hash64_fast
     from bikes_data_warehouse_etl_spark.operators.dedup import minhash_candidates
 

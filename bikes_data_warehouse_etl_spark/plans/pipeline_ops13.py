@@ -316,10 +316,12 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
     )
     # numwait counts LATE LINES of the blamed supplier per order.
-    # The late-lines side renames its columns before the join: both
-    # frames descend from `lines`, and joining on `blamed.ok ==
-    # late_lines.ok` relies on Spark's ambiguous-self-join
-    # auto-disambiguation (and warns "trivially true equals predicate").
+    # The late-lines side renames its columns (ll_*) before the join
+    # because both frames descend from `lines`: a pre-rename join on
+    # `blamed.ok == late_lines.ok` would have leaned on Spark's
+    # ambiguous-self-join auto-disambiguation (which warns "trivially
+    # true equals predicate"); the rename keeps the predicate
+    # unambiguous with no analyzer guesswork.
     late_lines = lines.where(F.col("late") == 1).select(
         F.col("ok").alias("ll_ok"), F.col("sk").alias("ll_sk")
     )

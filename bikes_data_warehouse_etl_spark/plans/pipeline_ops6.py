@@ -362,9 +362,11 @@ _SQL_ASOF_COGROUP = """
     """
 
 
-def _merge_asof_groups(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-    """Per-user merge_asof: each purchase gets the latest view at or
-    before it. Arrow-batched; both frames are one user's rows."""
+def _merge_asof_bucket(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Bucket-level merge_asof: ``left``/``right`` hold MANY users (one
+    hash bucket); ``merge_asof(by='user_id')`` does the per-user as-of
+    matching inside one Arrow batch, so the per-group Python/Arrow
+    round-trip cost is paid per *bucket*, not per user."""
     out_cols = ["event_id", "user_id", "es", "last_view_es", "last_view_cents"]
     if len(left) == 0:
         return pd.DataFrame({c: pd.Series(dtype="Int64") for c in out_cols})
@@ -375,12 +377,20 @@ def _merge_asof_groups(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             pd.NA, index=out.index, dtype="Int64"
         )
         return out[out_cols]
-    r = right.sort_values("es")[["es", "view_cents"]]
+    # right arrives with v_-prefixed names: both cogroup sides descend
+    # from the same events scan, and identically-named attributes would
+    # share Catalyst exprIds — the self-join dedup then prunes the
+    # right-side duplicates out of the Arrow batch entirely (observed:
+    # right frame arrives with only [view_cents, b]). Distinct names
+    # keep distinct exprIds and the batch intact.
+    r = right.rename(columns={"v_user_id": "user_id", "v_es": "es"})
+    r = r.sort_values("es")[["user_id", "es", "view_cents"]]
     r = r.assign(last_view_es=r["es"], last_view_cents=r["view_cents"])
     out = pd.merge_asof(
         left.sort_values("es"),
-        r[["es", "last_view_es", "last_view_cents"]],
+        r[["user_id", "es", "last_view_es", "last_view_cents"]],
         on="es",
+        by="user_id",
         direction="backward",
     )
     out["last_view_es"] = out["last_view_es"].astype("Int64")
@@ -392,20 +402,30 @@ def _merge_asof_groups(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
 def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via ``cogroup(...).applyInPandas`` — each purchase
     matched to the user's most recent view at-or-before it, executed
-    as a per-user pandas ``merge_asof`` and hash-proved against
+    as a pandas ``merge_asof(by='user_id')`` and hash-proved against
     DuckDB's *native* ASOF JOIN. This is the sanctioned extension
     point for as-of semantics Spark builtins can't express (e.g.
     nearest-by-tolerance, multi-column as-of): `asof_join_last_signup`
     shows the pure-window form; this shows the cogrouped Arrow form —
     the two strategies bracket the design space.
 
-    Scale: both sides shuffle once on user_id; per-group work is an
-    O(n log n) pandas sort + linear zip, Arrow-batched. The view side
-    is pre-aggregated per (user, second) BEFORE the cogroup — JVM-side
-    map-combined — so ties are resolved deterministically (MAX) and
-    the pandas stage sees the minimal frame. State is bounded by one
-    user's events, the same invariant the streaming twin relies on.
+    Scale: both sides shuffle once — but on a BUCKETED key,
+    ``xxhash64(user_id) % 64``, NOT raw user_id. Cogrouping on
+    the raw key makes one pandas group per user: at sf0.1 that is ~10k
+    few-row groups, each paying a fixed Arrow/Python round-trip (the
+    r03 profile: 11 s where the builtin-window twin took 0.5 s).
+    Bucketing collapses this to 64 groups of ~160 users each;
+    ``merge_asof(by=...)`` does the per-user matching vectorized inside
+    the batch (measured 11.0 s → 1.3 s warm at sf0.1). At 100 TB, raise
+    the bucket count to ~2-4× total cores (it only needs to exceed the
+    executor count for parallelism and keep one bucket's events in
+    memory); per-bucket state stays bounded at events/n_buckets, and a
+    hot user skews a bucket by at most that user's own events.
+    The view side is pre-aggregated per (user, second) BEFORE the
+    cogroup — JVM-side map-combined — so ties are resolved
+    deterministically (MAX) and the pandas stage sees a minimal frame.
     """
+    n_buckets = 64
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -420,12 +440,20 @@ def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("etype") == "view")
         .groupBy("user_id", "es")
         .agg(F.max("cents").alias("view_cents"))
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("es").alias("v_es"),
+            "view_cents",
+        )
     )
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets))
+    v_bucket = F.pmod(F.xxhash64("v_user_id"), F.lit(n_buckets))
     return (
-        p.groupBy("user_id")
-        .cogroup(v.groupBy("user_id"))
+        p.withColumn("b", bucket)
+        .groupBy("b")
+        .cogroup(v.withColumn("b", v_bucket).groupBy("b"))
         .applyInPandas(
-            _merge_asof_groups,
+            _merge_asof_bucket,
             schema=(
                 "event_id long, user_id long, es long, "
                 "last_view_es long, last_view_cents long"

@@ -19,6 +19,9 @@ persists as parquet for columnar pruning.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 from pyspark.sql.types import (
@@ -65,25 +68,36 @@ def read_documents_jsonl(
     )
 
 
+@contextmanager
 def split_corrupt(
     df: DataFrame,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Split a PERMISSIVE read into (good, quarantine, cached).
+) -> Iterator[tuple[DataFrame, DataFrame]]:
+    """Split a PERMISSIVE read into (good, quarantine) — a context
+    manager, so the cache it needs cannot leak.
 
     Spark requires caching/materializing the parsed frame before
     filtering on the corrupt column (the parser is lazy and
     re-parsing would race the filter) — the referenced quarantine
-    pattern from the Spark JSON datasource docs.
+    pattern from the Spark JSON datasource docs. The cached parent is
+    unpersisted on exit on ALL paths (including exceptions), so there
+    is no caller-side unpersist obligation — the round-3 API returned
+    the cached frame with a "caller MUST unpersist" comment, which an
+    exception between call and unpersist silently defeated::
 
-    The third element is the cached parent frame: callers MUST call
-    ``cached.unpersist()`` once both splits are materialized, or the
-    cache leaks in long-lived sessions (one leaked frame per
-    PERMISSIVE ingest).
+        with split_corrupt(df) as (good, bad):
+            good.write.parquet(clean_path)
+            bad.write.parquet(quarantine_path)
+
+    Both splits must be *consumed inside* the block; after exit they
+    still compute correctly but re-parse the source (cache gone).
     """
     df = df.cache()
-    good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
-    bad = df.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT)
-    return good, bad, df
+    try:
+        good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+        bad = df.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT)
+        yield good, bad
+    finally:
+        df.unpersist()
 
 
 def write_jsonl(df: DataFrame, path: str) -> None:

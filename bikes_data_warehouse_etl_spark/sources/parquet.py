@@ -28,26 +28,54 @@ TABLES = (
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to ``TimestampType`` whatever the parquet
+    encoding was.
+
+    The testdata generator has shipped ``ts`` two ways across rounds:
+
+    * parquet TIMESTAMP(NANOS) — unreadable natively
+      (``PARQUET_TYPE_ILLEGAL``) unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case it
+      arrives as ``bigint`` epoch-nanos. Normalized with exact integer
+      division (epoch-ns ~1.7e18 exceeds double's 53-bit mantissa, so
+      ``/ 1000`` via double would be off by ±1 µs — use ``div``).
+    * parquet ``timestamp[us]`` with no timezone — Spark infers
+      ``TimestampNTZType``. Normalized by a cast that must interpret the
+      naive value as UTC (the generator's convention, and what the
+      DuckDB oracle does when extracting epochs). Spark resolves the
+      cast's timezone at *analysis* time, so we pin the session tz to
+      UTC while building the expression and restore it after — callers
+      on non-UTC sessions still get naive-as-UTC semantics.
+    """
+    spark = df.sparkSession
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS); vanilla Spark
-    refuses that physical type (``PARQUET_TYPE_ILLEGAL``) unless the
-    runtime SQL conf ``spark.sql.legacy.parquet.nanosAsLong`` is set, so
-    we set it here — ``read_table`` must behave identically under ANY
-    SparkSession, not just :func:`session.get_spark`. The column then
-    arrives as ``bigint`` epoch-nanos and is normalized back to a
-    microsecond timestamp with exact integer division (epoch-ns values
-    ~1.7e18 exceed double's 53-bit mantissa, so ``/ 1000`` via double
-    would be off by ±1 µs near boundaries — use ``div``).
+    ``events.ts`` needs the ``nanosAsLong`` conf *before* the scan in
+    case the files are TIMESTAMP(NANOS) (harmless otherwise), then
+    :func:`normalize_event_ts` handles whichever physical encoding the
+    files actually carry — ``read_table`` must behave identically under
+    ANY SparkSession, not just :func:`session.get_spark`.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

@@ -20,6 +20,8 @@ drop-directory/Kafka source unchanged.
 
 from __future__ import annotations
 
+import glob
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,28 +32,72 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),  # parquet TIMESTAMP(NANOS) → long
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
-)
+from bikes_data_warehouse_etl_spark.sources.parquet import normalize_event_ts
+
+
+def _events_stream_schema(ts_is_long: bool) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField(
+                "ts", LongType() if ts_is_long else TimestampNTZType(), True
+            ),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+
+
+def _events_ts_is_long(events_dir: str) -> bool:
+    """Probe the parquet footer of one file already in the drop dir.
+
+    A file-source stream needs its schema pinned up front, but the event
+    generator has shipped ``ts`` both as INT64 epoch-nanos (readable as
+    ``LongType``) and as ``timestamp[us]`` NTZ — the same split the
+    batch reader adapts to per-DataFrame in
+    :func:`..sources.parquet.normalize_event_ts`. One footer read at
+    stream-construction time (driver-side, metadata only — no data
+    pages) picks the wire type; defaults to long-nanos when the dir is
+    still empty (the historical format).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(events_dir):
+        files = [events_dir]
+    else:
+        files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    if not files:
+        return True
+    ts_type = pq.read_schema(files[0]).field("ts").type
+    if pa.types.is_integer(ts_type):
+        return True
+    # timestamp[ns] only reads under nanosAsLong → also the long path
+    return pa.types.is_timestamp(ts_type) and ts_type.unit == "ns"
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream over event parquet files dropped into a dir."""
+    """File-source stream over event parquet files dropped into a dir.
+
+    ``ts`` normalization matches the batch reader exactly (same
+    :func:`normalize_event_ts` helper), so the streaming twins stay
+    value-identical to their oracle-checked batch twins under either
+    testdata encoding.
+    """
+    ts_is_long = _events_ts_is_long(events_dir)
+    if ts_is_long:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(ts_is_long))
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def windowed_event_counts(
@@ -191,6 +237,68 @@ def run_user_totals_to_memory(
         .writeStream.format("memory")
         .queryName(table)
         .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_stream_view_purchase_join(
+    spark: SparkSession, events_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same
+    user's views in the trailing hour — the streaming twin of the
+    batch ``interval_join_purchases`` pair predicate
+    (plans/pipeline_ops14.py). Both sides are watermarked, and the
+    time-range condition (``v_es ∈ (es − 3600, es]``) is what lets
+    Spark bound join state: a buffered view can be evicted once the
+    watermark passes its latest possible match (view ts + 1 h), so
+    state is O(events per watermark horizon), flat over an unbounded
+    stream. Inner join: matches emit as soon as both sides arrive —
+    no watermark wait (contrast outer, which must hold rows open
+    until the watermark proves no match is coming).
+
+    Emits one row per (purchase, view) PAIR — the aggregation to
+    per-purchase counts happens downstream exactly as in batch.
+    """
+    ev = stream_events(spark, events_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_cents"),
+    )
+    return (
+        p.withWatermark("p_ts", watermark)
+        .join(
+            v.withWatermark("v_ts", watermark),
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 3600 SECONDS"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+            "inner",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("p_ts").cast("long").alias("es"),
+            F.unix_timestamp("v_ts").cast("long").alias("v_es"),
+            "v_cents",
+        )
+    )
+
+
+def run_stream_stream_join_to_memory(
+    spark: SparkSession, events_dir: str, table: str = "ss_join"
+) -> None:
+    q = (
+        stream_stream_view_purchase_join(spark, events_dir)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

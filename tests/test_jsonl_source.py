@@ -35,15 +35,25 @@ def test_failfast_raises_on_malformed(spark, tmp_path):
 def test_permissive_quarantines_malformed(spark, tmp_path):
     path = _write(tmp_path, GOOD + [BAD])
     df = read_documents_jsonl(spark, path, mode="PERMISSIVE")
-    good, bad, cached = split_corrupt(df)
-    assert good.count() == 2
-    assert {r.doc_id for r in good.collect()} == {1, 2}
-    quarantined = bad.collect()
-    assert len(quarantined) == 1
-    assert quarantined[0][0].startswith('{"doc_id": 3')
-    assert cached.storageLevel.useMemory
-    cached.unpersist(blocking=True)
-    assert not cached.storageLevel.useMemory
+    with split_corrupt(df) as (good, bad):
+        assert good.count() == 2
+        assert {r.doc_id for r in good.collect()} == {1, 2}
+        quarantined = bad.collect()
+        assert len(quarantined) == 1
+        assert quarantined[0][0].startswith('{"doc_id": 3')
+        assert df.storageLevel.useMemory
+    assert not df.storageLevel.useMemory
+
+
+def test_split_corrupt_unpersists_on_exception(spark, tmp_path):
+    path = _write(tmp_path, GOOD + [BAD])
+    df = read_documents_jsonl(spark, path, mode="PERMISSIVE")
+    with pytest.raises(RuntimeError, match="boom"):
+        with split_corrupt(df) as (good, _bad):
+            assert good.count() == 2
+            assert df.storageLevel.useMemory
+            raise RuntimeError("boom")
+    assert not df.storageLevel.useMemory
 
 
 def test_clean_read_and_roundtrip(spark, tmp_path):

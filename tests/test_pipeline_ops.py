@@ -109,6 +109,30 @@ def test_neardup_components_chain_transitivity(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_neardup_components_deep_chain_plan_bounded(spark):
+    """A diameter-50 path graph: min-label propagation needs ~50
+    rounds, so without lineage truncation the returned frame's plan
+    nests 50 join+aggregate layers. The eager localCheckpoint every 5
+    rounds must (a) still converge to one component and (b) leave the
+    final plan rooted at the last checkpoint — analyzed-plan size
+    bounded by the 5-round tail, not the 50-round history."""
+    from bikes_data_warehouse_etl_spark.operators.dedup import (
+        neardup_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], ["id_a", "id_b"]
+    )
+    out = neardup_components(chain, max_iter=60)
+    got = {r["node"]: r["component_id"] for r in out.collect()}
+    assert got == {i: 0 for i in range(51)}
+
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # one loop round contributes ~40 plan lines; 5-round tails stay in
+    # the hundreds, a 50-round uncheckpointed lineage is thousands
+    assert len(plan.splitlines()) < 600, len(plan.splitlines())
+
+
 def test_event_funnel_monotone(spark, sf_dir):
     r = QUERIES["event_funnel"].spark(spark, sf_dir).collect()[0]
     assert r["n_view_users"] >= r["n_view_then_click"] >= r["n_full_funnel"]

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from bikes_data_warehouse_etl_spark.functions.text import (
@@ -128,6 +130,34 @@ def test_lsh_dropped_bucket_accounting(spark):
     # with the cap above the bucket size nothing is dropped
     none = lsh_dropped_buckets(df, n_hashes=8, bands=4, max_bucket=50).first()
     assert none["n_buckets_dropped"] == 0 and none["n_docs_affected"] == 0
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_lsh_candidates_fast_recall_precondition(spark, sf):
+    """The `lsh_candidates_fast` oracle equality (Spark verified-pair
+    set == exhaustive exact-Jaccard>=0.8 set) rests on TWO data-
+    dependent preconditions: (a) banding misses no >=0.8 pair at this
+    sf, and (b) the max_bucket=50 skew cap drops NO bucket — a dropped
+    boilerplate bucket can lose even J=1 pairs. (a) is checked by the
+    oracle gate itself; this pins (b) with the query's exact LSH
+    parameters, so a testdata regeneration that grows a boilerplate
+    cluster past the cap fails HERE with a diagnosis instead of as an
+    opaque hash mismatch in the driver gate."""
+    from bikes_data_warehouse_etl_spark.functions.text import hash64_fast
+    from bikes_data_warehouse_etl_spark.operators.dedup import lsh_dropped_buckets
+    from bikes_data_warehouse_etl_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf, "documents")
+    stats = lsh_dropped_buckets(
+        docs, n_hashes=8, bands=4, max_bucket=50, hash_fn=hash64_fast
+    ).first()
+    assert stats["n_buckets_dropped"] == 0, (
+        f"{stats['n_buckets_dropped']} over-cap LSH buckets at {sf} "
+        f"({stats['n_docs_affected']} docs): lsh_candidates_fast recall "
+        "is no longer exhaustive — raise max_bucket or re-derive the oracle"
+    )
 
 
 def test_exact_dedup_shuffle_key_is_hash_not_text(spark):

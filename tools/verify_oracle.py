@@ -7,11 +7,19 @@ floats rounded to 6dp before hashing to absorb summation-order noise —
 queries themselves already round displayed doubles to 2dp).
 
 Usage: python tools/verify_oracle.py [sf_dir] [query ...]
+
+Writes the full per-query matrix to ``CORRECTNESS_local.json`` (repo
+root) when run without a query filter, so the verified surface is a
+checked-in artifact rather than a claim. Oracle-verified and rows-only
+queries are counted separately in the summary — a rows-only "OK?" is a
+weaker check and must not inflate the match count.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 
 import duckdb
@@ -52,30 +60,36 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
-    n_run = 0
+    results: dict[str, dict] = {}
+    n_oracle = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        n_run += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             failures.append(name)
+            results[name] = {"status": "spark_error", "error": str(ex)[:200]}
             continue
         if name not in oracles:
+            n_rows_only += 1
             print(f"OK?  {name}: rows-only check, {len(sdf)} rows")
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
             continue
+        n_oracle += 1
         try:
             odf = con.execute(oracles[name]).fetch_df()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             failures.append(name)
+            results[name] = {"status": "duckdb_error", "error": str(ex)[:200]}
             continue
         sn, sc, sh = canonical_hash(sdf)
         on_, oc, oh = canonical_hash(odf)
         if (sn, sc, sh) == (on_, oc, oh):
             print(f"PASS {name}: {sn} rows, hash {sh}")
+            results[name] = {"status": "oracle_match", "rows": sn, "hash": sh}
         else:
             print(f"FAIL {name}: spark=({sn},{sc},{sh}) duckdb=({on_},{oc},{oh})")
             if sn == on_ and sc == oc:
@@ -89,7 +103,37 @@ def main() -> int:
                         print(f"  spark : {a}\n  duckdb: {b}")
                         break
             failures.append(name)
-    print(f"\n{n_run - len(failures)}/{n_run} queries match")
+            results[name] = {
+                "status": "mismatch",
+                "spark": [sn, list(sc), sh],
+                "duckdb": [on_, list(oc), oh],
+            }
+    n_oracle_ok = n_oracle - sum(
+        1 for r in results.values() if r["status"] in ("mismatch", "duckdb_error")
+    )
+    print(
+        f"\n{n_oracle_ok}/{n_oracle} oracle-matched, "
+        f"{n_rows_only} rows-only, {len(failures)} failures"
+    )
+    if not only:
+        out = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                           "CORRECTNESS_local.json")
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_oracle_matched": n_oracle_ok,
+                    "n_rows_only": n_rows_only,
+                    "n_failures": len(failures),
+                    "failures": failures,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {out}")
     return 1 if failures else 0
 
 
