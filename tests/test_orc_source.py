@@ -1,0 +1,46 @@
+"""ORC ingestion edge: roundtrip fidelity + the scan properties that
+matter at scale (column pruning, predicate pushdown)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bikes_data_warehouse_etl_spark.sources.orc import read_orc, write_orc
+from bikes_data_warehouse_etl_spark.sources.parquet import read_table
+
+
+def test_orc_roundtrip_lineitem(spark, sf_dir, tmp_path):
+    src = read_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "lineitem_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    # value fidelity on an integer-exact projection
+    a = src.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c"),
+    )
+    b = back.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c"),
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_orc_scan_prunes_and_pushes_down(spark, sf_dir, tmp_path):
+    """The ORC reader must behave like the parquet one where it counts:
+    filters in PushedFilters, projection pruned in ReadSchema."""
+    path = str(tmp_path / "li_orc")
+    write_orc(read_table(spark, sf_dir, "lineitem"), path)
+    q = (
+        read_orc(spark, path)
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema

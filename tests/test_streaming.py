@@ -32,6 +32,46 @@ def test_streaming_window_counts_equal_batch(spark, sf_dir, tmp_path):
     assert stream_rows == batch_rows
 
 
+def test_stream_stream_join_matches_batch_pairs(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream interval join must emit exactly
+    the pair set of the batch predicate (inner matches emit on
+    arrival, so one availableNow drain sees them all — no watermark
+    finalization wait, unlike append-mode window tests)."""
+    from bikes_data_warehouse_etl_spark.sources.parquet import read_table
+    from bikes_data_warehouse_etl_spark.streaming.pipeline import (
+        run_stream_stream_join_to_memory,
+    )
+
+    events_dir = str(tmp_path / "ssj_in")
+    os.makedirs(events_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir)
+    run_stream_stream_join_to_memory(spark, events_dir, table="ssj_test")
+    stream_pairs = {tuple(r) for r in spark.table("ssj_test").collect()}
+
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_timestamp("ts").cast("long").alias("es")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.unix_timestamp("ts").cast("long").alias("v_es"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_cents"),
+    )
+    batch_pairs = {
+        tuple(r)
+        for r in p.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("v_es") > F.col("es") - 3600)
+            & (F.col("v_es") <= F.col("es")),
+        )
+        .select("event_id", "user_id", "es", "v_es", "v_cents")
+        .collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert len(stream_pairs) > 0
+
+
 def test_scd1_stream_upserts_across_batches(spark, tmp_path):
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
