@@ -77,15 +77,19 @@ def regressions_vs(
 
 
 def latest_bench_json() -> str | None:
-    """The newest round's BENCH_r{N}.json with USABLE per-query data
-    (a round whose driver-side capture truncated has ``parsed: null``
-    and can't serve as a baseline — fall back to the round before)."""
-    rounds = []
+    """The newest USABLE per-query baseline.
+
+    Preference order: the checked-in ``BENCH_local.json`` (the previous
+    round's locally-run median-of-3, committed explicitly), then the
+    highest-numbered driver ``BENCH_r{N}.json`` that actually carries
+    per-query timings — rounds whose driver-side capture truncated
+    have ``parsed: null`` (r02 and r03 both do) and are skipped."""
+    candidates = [(10**6, os.path.join(REPO, "BENCH_local.json"))]
     for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
-            rounds.append((int(m.group(1)), p))
-    for _, p in sorted(rounds, reverse=True):
+            candidates.append((int(m.group(1)), p))
+    for _, p in sorted(candidates, reverse=True):
         try:
             with open(p) as f:
                 doc = json.load(f)

@@ -54,3 +54,40 @@ def orphan_rows(
 def check_report(checks: dict[str, DataFrame]) -> dict[str, int]:
     """Materialize named checks into violation counts."""
     return {name: df.count() for name, df in checks.items()}
+
+
+def observe_dq(
+    df: DataFrame,
+    name: str,
+    not_null_cols: Sequence[str] = (),
+    value_col: str | None = None,
+):
+    """Attach zero-extra-pass DQ counters to a frame via ``df.observe``.
+
+    Every check in this module costs an extra ACTION over the data;
+    ``observe`` instead piggybacks accumulator-style metrics on
+    whatever action the caller was already running (the write, the
+    aggregate) — at 100 TB that is the difference between "DQ counters
+    are free" and "DQ doubles the scan". Metrics collected per action:
+    ``n_rows``, ``n_null_<col>`` for each declared NOT NULL column,
+    and min/max of ``value_col`` when given (range sanity).
+
+    Returns ``(observed_df, observation)`` — run any action on
+    ``observed_df`` (or a descendant), then read ``observation.get``
+    as a plain dict. On a STREAMING frame pass a string observation
+    instead (``df.observe("name", ...)``) and read
+    ``lastProgress.observedMetrics`` per micro-batch — the metric
+    expressions here work unchanged.
+    """
+    from pyspark.sql import Observation
+
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in not_null_cols:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}")
+        )
+    if value_col is not None:
+        metrics.append(F.min(value_col).alias(f"min_{value_col}"))
+        metrics.append(F.max(value_col).alias(f"max_{value_col}"))
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

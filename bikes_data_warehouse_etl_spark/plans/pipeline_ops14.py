@@ -281,6 +281,16 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= 2)
         .select("src", "dst")
+        # the edge set feeds FOUR consumers (deg, ed, and both rank
+        # rounds through ed); without materialization Spark re-runs the
+        # order-level self-join per consumer (~18 exchanges in the
+        # un-checkpointed plan). One eager localCheckpoint runs the
+        # edge build exactly once — legitimate because the support-
+        # filtered edge set is the graph itself, the same thing any
+        # Pregel runtime materializes between supersteps; blocks are
+        # MEMORY_AND_DISK and freed by the ContextCleaner when the
+        # frame goes out of scope.
+        .localCheckpoint()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
     ed = e.join(deg, "src")
@@ -303,4 +313,56 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r2.select(
         F.col("node").cast("long").alias("s_suppkey"),
         F.col("r").cast("long").alias("rank_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates: corpus-wide adjacent character-pair counts
+# ---------------------------------------------------------------------------
+_SQL_BPE = f"""
+    WITH tok AS (
+        SELECT t FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents)
+        WHERE len(t) >= 2),
+    pairs AS (
+        SELECT unnest(list_transform(
+            generate_series(1, len(t) - 1), i -> t[i:i+1])) AS pair
+        FROM tok)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """
+
+
+@_q("bpe_merge_candidates", _SQL_BPE)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent character pairs by corpus frequency — the
+    highest-count pair is exactly the next merge a BPE tokenizer
+    trainer would apply, so this query IS one iteration of
+    byte-pair-encoding vocabulary learning (corpus-scale, the step
+    trainers re-run tens of thousands of times; each later iteration
+    is this same plan over re-segmented tokens).
+
+    Scale: the explode fans out by token LENGTH (bounded, ~6 chars
+    avg), but the aggregation key domain is tiny — at most charset²
+    pairs (~1.3k for [a-z0-9]) — so the count shuffle moves a few KB
+    per partition after map-side combine regardless of corpus size,
+    and the top-50 is a TakeOrderedAndProject heap over ≤ charset²
+    rows, never a global sort. Deterministic total order: count desc,
+    then pair asc for ties.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(tokens(F.col("text"))).alias("t")
+    ).filter(F.length("t") >= 2)
+    pairs = tok.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(50)
     )

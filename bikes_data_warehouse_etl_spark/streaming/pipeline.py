@@ -5,10 +5,16 @@ The reference re-runs its batch ETL "time to time"; the streaming
 equivalents here share the *same* builder functions as the batch path:
 
 * ``stream_events``        — file-source stream over event parquet
-  (schema-pinned; ns timestamps arrive as long and are normalized
-  exactly like the batch reader in sources/parquet.py)
+  (schema pinned per the probed wire encoding; ``ts`` normalized by
+  the same helper as the batch reader in sources/parquet.py, so the
+  streaming twins stay value-identical to their batch twins)
 * ``windowed_event_counts`` — watermarked tumbling-window aggregation,
   the streaming twin of the batch ``events_tumbling`` query
+* ``stream_stream_view_purchase_join`` — watermarked stream-stream
+  interval join, the streaming twin of ``interval_join_purchases``
+* ``running_user_totals`` / ``running_user_totals_tws`` — custom
+  per-key state on both stateful APIs (applyInPandasWithState and
+  Spark 4's transformWithStateInPandas), pinned equal by test
 * ``run_scd1_stream``      — foreachBatch incremental SCD1 merge: each
   micro-batch upserts into the target (the streaming form of the
   reference's per-run SCD loads)
@@ -227,6 +233,91 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals as :func:`running_user_totals`,
+    on Spark 4's ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (object-style StatefulProcessor, typed
+    per-key state handles, optional timers/TTL, and RocksDB-backed
+    state so per-key state spills instead of living in executor heap).
+    Both implementations are kept: the twin test pins them
+    final-state-equal, so the engine can migrate stateful pipelines
+    across the API generations with proof of equivalence.
+
+    Requires the RocksDB state store provider (set by
+    :func:`run_user_totals_tws_to_memory`); state is one (n, cents)
+    pair per user — flat in users, independent of stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("value_cents", LongType(), False),
+        ]
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            state_schema = StructType(
+                [
+                    StructField("n", LongType(), True),
+                    StructField("cents", LongType(), True),
+                ]
+            )
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, cents = self._state.get()
+            else:
+                n, cents = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(pdf["value"].fillna(0.0) * 100).sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TotalsProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def run_user_totals_tws_to_memory(
+    spark: SparkSession, events_dir: str, table: str = "user_totals_tws"
+) -> None:
+    """Drain the transformWithState totals over all available files.
+    RocksDB provider is required by the operator (heap provider
+    rejects it); set per-session, not globally, so the rest of the
+    suite keeps the default provider."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    q = (
+        running_user_totals_tws(stream_events(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_user_totals_to_memory(
     spark: SparkSession, events_dir: str, table: str = "user_totals"
 ) -> None:
@@ -244,7 +335,10 @@ def run_user_totals_to_memory(
 
 
 def stream_stream_view_purchase_join(
-    spark: SparkSession, events_dir: str, watermark: str = "2 hours"
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: purchases joined to the same
     user's views in the trailing hour — the streaming twin of the
@@ -260,6 +354,13 @@ def stream_stream_view_purchase_join(
 
     Emits one row per (purchase, view) PAIR — the aggregation to
     per-purchase counts happens downstream exactly as in batch.
+
+    ``how="left_outer"`` keeps view-less purchases: their null-padded
+    rows emit only once the watermark proves no matching view can
+    still arrive (watermark past the purchase time), so an
+    ``availableNow`` drain does NOT include outer rows for the stream
+    tail — a later batch must advance the watermark first (the same
+    two-run finalization the append-mode window tests pin).
     """
     ev = stream_events(spark, events_dir)
     p = ev.filter(F.col("event_type") == "purchase").select(
@@ -279,7 +380,7 @@ def stream_stream_view_purchase_join(
             (F.col("user_id") == F.col("v_user_id"))
             & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 3600 SECONDS"))
             & (F.col("v_ts") <= F.col("p_ts")),
-            "inner",
+            how,
         )
         .select(
             "event_id",

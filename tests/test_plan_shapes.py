@@ -592,3 +592,38 @@ def test_returned_items_heap_topk_no_customer_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "returned_items_topk")
     assert "TakeOrderedAndProject" in plan
     assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_doc_chunks_overlap_zero_shuffle(spark, sf_dir):
+    """Chunking is row-local document→sample expansion: one Generate
+    (the window-start explode), ZERO exchanges at any corpus size."""
+    plan = _plan(spark, sf_dir, "doc_chunks_overlap")
+    assert "Generate" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_interval_join_is_equi_not_cartesian(spark, sf_dir):
+    """The trailing-hour interval join must plan as an EQUI join on
+    user_id with the time range as residual — a range-only join would
+    degrade to BroadcastNestedLoop/Cartesian and die at scale."""
+    plan = _plan(spark, sf_dir, "interval_join_purchases")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_7d_uses_range_frame_over_bounded_domain(spark, sf_dir):
+    """The rolling sum must be a RANGE frame (value distance — calendar
+    gaps shorten the window) running AFTER the (seg × day) aggregate."""
+    plan = _plan(spark, sf_dir, "rolling_7d_revenue")
+    assert "RANGE BETWEEN" in plan or "RangeFrame" in plan
+    # window input is the pre-aggregated domain: agg exchange below window
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_pagerank_edges_materialized_once(spark, sf_dir):
+    """The rank iterations must read the checkpointed edge set (RDD
+    scans), not re-run the order-level self-join per consumer: the
+    un-checkpointed plan had 18 exchanges, the materialized one ≤ 8."""
+    plan = _plan(spark, sf_dir, "pagerank_suppliers")
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Exchange hashpartitioning") <= 8

@@ -76,3 +76,24 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         # exact side must agree with an independently computed exact
         assert r["within_5pct"] is True
         assert r["exact_parts"] == exact[r["flag"]]
+
+
+def test_observe_dq_piggybacks_on_action(spark, sf_dir):
+    """observe() metrics must ride the caller's own action — counters
+    arrive without a second pass, and match an explicit recount."""
+    from bikes_data_warehouse_etl_spark.operators.quality import observe_dq
+    from bikes_data_warehouse_etl_spark.sources.parquet import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    observed, obs = observe_dq(
+        li, "li_dq", not_null_cols=["l_orderkey", "l_shipdate"],
+        value_col="l_quantity",
+    )
+    # the "already running" action: a downstream aggregate
+    n_groups = observed.groupBy("l_returnflag").count().count()
+    assert n_groups > 0
+    m = obs.get
+    assert m["n_rows"] == li.count()
+    assert m["n_null_l_orderkey"] == 0
+    assert m["min_l_quantity"] >= 0
+    assert m["max_l_quantity"] <= 50 + 1e-9

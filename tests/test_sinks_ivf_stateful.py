@@ -135,3 +135,49 @@ def test_stateful_user_totals_match_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_transform_with_state_totals_match_legacy_api(spark, sf_dir, tmp_path):
+    """Spark 4's transformWithStateInPandas twin must land on the same
+    final per-user state as the applyInPandasWithState implementation
+    (and therefore as the batch aggregate the other test pins).
+
+    The TWS Python driver worker imports google.protobuf at startup;
+    this container ships a broken protobuf, so the surface is
+    implemented + contract-tested here but SKIPPED where the runtime
+    dependency is absent (same policy as the media-codec stubs)."""
+    import os
+    import shutil
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        import pytest
+
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "driver worker cannot start in this container")
+
+    from bikes_data_warehouse_etl_spark.streaming.pipeline import (
+        run_user_totals_to_memory,
+        run_user_totals_tws_to_memory,
+    )
+
+    events_dir = str(tmp_path / "events_tws")
+    os.makedirs(events_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir)
+    run_user_totals_tws_to_memory(spark, events_dir, table="ut_tws")
+    tws = {
+        r["user_id"]: (r["n_events"], r["value_cents"])
+        for r in spark.table("ut_tws").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert tws == batch
