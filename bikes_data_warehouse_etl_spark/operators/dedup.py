@@ -410,15 +410,24 @@ def neardup_components(
     materialized, never while a descendant might still recompute from
     it.
     """
+    # symmetrize with ONE pass over the pair pipeline: a union of two
+    # selects re-evaluates the (expensive — shingle self-join) pairs
+    # plan once per branch; exploding a 2-element array emits both
+    # directions from a single scan
     edges = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
-    edges = edges.union(
-        pairs.select(
-            F.col(id_b).cast("long").alias("src"),
-            F.col(id_a).cast("long").alias("dst"),
-        )
-    ).persist()
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(id_a).cast("long").alias("src"),
+                    F.col(id_b).cast("long").alias("dst"),
+                ),
+                F.struct(
+                    F.col(id_b).cast("long").alias("src"),
+                    F.col(id_a).cast("long").alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").persist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

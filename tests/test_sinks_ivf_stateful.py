@@ -181,3 +181,42 @@ def test_transform_with_state_totals_match_legacy_api(spark, sf_dir, tmp_path):
         .collect()
     }
     assert tws == batch
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: a selective DIM-side filter must
+    prune FACT partitions at runtime (the dim filter is only known
+    after planning, so the scan carries a dynamicpruning subquery in
+    its PartitionFilters instead of reading all partitions). At 100 TB
+    this is the difference between scanning one year and scanning the
+    table whenever the partition key arrives via a join."""
+    import pyspark.sql.functions as F
+    from bikes_data_warehouse_etl_spark.sources.parquet import read_table
+    from bikes_data_warehouse_etl_spark.sources.sinks import write_partitioned
+
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    path = str(tmp_path / "li_by_year")
+    write_partitioned(li, path, ["ship_year"])
+    fact = spark.read.parquet(path)
+
+    dim = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.year("o_orderdate").alias("ship_year"))
+        .distinct()
+    )
+    q = fact.join(dim, "ship_year").agg(
+        F.sum("l_quantity").alias("total_qty")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the pruned query still computes the right answer
+    years = {r.ship_year for r in dim.collect()}
+    expected = (
+        li.filter(F.col("ship_year").isin(years))
+        .agg(F.sum("l_quantity"))
+        .first()[0]
+    )
+    assert abs(q.first()["total_qty"] - expected) < 1e-6

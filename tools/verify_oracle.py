@@ -116,8 +116,16 @@ def main() -> int:
         f"{n_rows_only} rows-only, {len(failures)} failures"
     )
     if not only:
-        out = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                           "CORRECTNESS_local.json")
+        # one artifact per scale factor: the driver-gate scale (sf0.01)
+        # keeps the canonical name, other sfs get a suffixed file so an
+        # sf0.1 confirmation run can't clobber the canonical matrix
+        sf_tag = os.path.basename(sf_dir.rstrip("/"))
+        fname = (
+            "CORRECTNESS_local.json"
+            if sf_tag == "sf0.01"
+            else f"CORRECTNESS_local_{sf_tag}.json"
+        )
+        out = os.path.join(os.path.dirname(os.path.dirname(__file__)), fname)
         with open(out, "w") as f:
             json.dump(
                 {
