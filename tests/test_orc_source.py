@@ -44,3 +44,23 @@ def test_orc_scan_prunes_and_pushes_down(spark, sf_dir, tmp_path):
     )[1].split("]")[0]
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_merge_schema_read_unions_evolving_footers(spark, tmp_path):
+    """Files written under an evolving schema must read as the UNION
+    of their columns (old rows null-filled) — the default single-footer
+    sample would silently drop the added column if an old file wins."""
+    from bikes_data_warehouse_etl_spark.sources.parquet import read_evolving
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, v string"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 20)], "id long, v string, score long"
+    ).write.mode("append").parquet(path)
+
+    df = read_evolving(spark, path)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r["id"]: (r["v"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 20)}
