@@ -41,7 +41,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def regressions_vs(
-    timings: dict[str, float], baseline_path: str, threshold: float = 1.5
+    timings: dict[str, float],
+    baseline_path: str,
+    threshold: float = 1.5,
+    sf: float | None = None,
 ) -> list[str]:
     """Per-query regression gate vs a prior round's BENCH json.
 
@@ -50,7 +53,9 @@ def regressions_vs(
     warmup order; a 0.2 s → 0.4 s flip is noise, 5 s → 9 s is not).
     New queries (absent from baseline) never count, nor do queries whose
     definition changed since the baseline round (the old floor measures
-    different work).
+    different work). When ``sf`` is given and the baseline records a
+    DIFFERENT scale factor, the whole comparison is skipped — an sf1
+    run gated against sf0.1 medians would flag the entire suite.
     """
     shape_changed = {
         # r2 reshaped this query for the bounded-error oracle: it now
@@ -65,7 +70,11 @@ def regressions_vs(
     # driver's BENCH_r{N}.json wraps the bench line under "parsed" —
     # which can be null when the driver's own capture truncated (r03),
     # so fall through to {} rather than crash on a None
-    base = ((doc.get("parsed") or doc).get("queries")) or {}
+    parsed = (doc.get("parsed") or doc)
+    base_sf = parsed.get("sf", doc.get("sf"))
+    if sf is not None and base_sf is not None and float(base_sf) != float(sf):
+        return []
+    base = parsed.get("queries") or {}
     return sorted(
         name
         for name, t in timings.items()
@@ -119,11 +128,12 @@ def main() -> None:
     }
     total = sum(timings.values())
 
+    cur_sf = float(sf) if sf else None
     r1_baseline = os.environ.get(
         "SPARK_GRAFT_BENCH_BASELINE", os.path.join(REPO, "BENCH_r01.json")
     )
-    regressed_r1 = regressions_vs(timings, r1_baseline)
-    regressed_prev = regressions_vs(timings, latest_bench_json())
+    regressed_r1 = regressions_vs(timings, r1_baseline, sf=cur_sf)
+    regressed_prev = regressions_vs(timings, latest_bench_json(), sf=cur_sf)
 
     print(
         json.dumps(

@@ -52,7 +52,12 @@ class SentenceSplit:
                 in_number = (
                     0 < i < n - 1 and text[i - 1].isdigit() and text[i + 1].isdigit()
                 )
-                if tail not in ABBREVIATIONS and not in_number:
+                # single letters never end a sentence ('J.' initials,
+                # and the first dot of 'e.g.'/'i.e.' — without this the
+                # dotted ABBREVIATIONS entries are unreachable, since
+                # their first interior dot would break at tail 'e'/'i')
+                is_initial = len(tail) == 1 and tail.isalpha()
+                if tail not in ABBREVIATIONS and not in_number and not is_initial:
                     sentences.append("".join(buf))
                     buf = []
             i += 1

@@ -469,8 +469,13 @@ def neardup_components(
             break
     edges.unpersist()
     if last_ckpt is not None and last_ckpt is not labels:
-        # materialize the final labels before dropping the checkpoint
-        # they may still need to recompute from
-        labels.count()
+        # the returned frame must be SELF-CONTAINED before the lingering
+        # checkpoint is dropped: a mere count() on the persisted labels
+        # is not enough (a lost executor would recompute through lineage
+        # into the deleted checkpoint blocks) — checkpoint the final
+        # labels too, truncating lineage, then release both ancestors
+        persisted = labels
+        labels = labels.localCheckpoint()
+        persisted.unpersist()
         last_ckpt.unpersist()
     return labels.select("node", F.col("label").alias("component_id"))

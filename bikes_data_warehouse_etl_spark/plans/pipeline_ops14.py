@@ -284,13 +284,15 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the edge set feeds FOUR consumers (deg, ed, and both rank
         # rounds through ed); without materialization Spark re-runs the
         # order-level self-join per consumer (~18 exchanges in the
-        # un-checkpointed plan). One eager localCheckpoint runs the
-        # edge build exactly once — legitimate because the support-
-        # filtered edge set is the graph itself, the same thing any
-        # Pregel runtime materializes between supersteps; blocks are
-        # MEMORY_AND_DISK and freed by the ContextCleaner when the
-        # frame goes out of scope.
-        .localCheckpoint()
+        # un-checkpointed plan). A LAZY localCheckpoint runs the edge
+        # build exactly once at the first action — legitimate because
+        # the support-filtered edge set is the graph itself, the same
+        # thing any Pregel runtime materializes between supersteps.
+        # eager=False matters: plan construction (explain, plan-shape
+        # tests, bench building the frame per pass) must not launch
+        # jobs or accrue blocks; blocks are MEMORY_AND_DISK and freed
+        # by the ContextCleaner when the frame goes out of scope.
+        .localCheckpoint(eager=False)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
     ed = e.join(deg, "src")

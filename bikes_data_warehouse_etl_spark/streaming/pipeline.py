@@ -68,8 +68,10 @@ def _events_ts_is_long(events_dir: str) -> bool:
     batch reader adapts to per-DataFrame in
     :func:`..sources.parquet.normalize_event_ts`. One footer read at
     stream-construction time (driver-side, metadata only — no data
-    pages) picks the wire type; defaults to long-nanos when the dir is
-    still empty (the historical format).
+    pages) picks the wire type. An EMPTY drop dir is undecidable and
+    raises: guessing here once mis-scaled every event time 1000x when
+    the generator changed encodings — callers starting a stream before
+    any data lands must pass ``ts_is_long`` explicitly.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -79,7 +81,11 @@ def _events_ts_is_long(events_dir: str) -> bool:
     else:
         files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
     if not files:
-        return True
+        raise ValueError(
+            f"no parquet files in {events_dir!r} to probe the ts encoding "
+            "from — pass stream_events(..., ts_is_long=True/False) "
+            "explicitly when starting a stream on an empty directory"
+        )
     ts_type = pq.read_schema(files[0]).field("ts").type
     if pa.types.is_integer(ts_type):
         return True
@@ -87,15 +93,19 @@ def _events_ts_is_long(events_dir: str) -> bool:
     return pa.types.is_timestamp(ts_type) and ts_type.unit == "ns"
 
 
-def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, events_dir: str, ts_is_long: bool | None = None
+) -> DataFrame:
     """File-source stream over event parquet files dropped into a dir.
 
     ``ts`` normalization matches the batch reader exactly (same
     :func:`normalize_event_ts` helper), so the streaming twins stay
     value-identical to their oracle-checked batch twins under either
-    testdata encoding.
+    testdata encoding. ``ts_is_long`` overrides the footer probe —
+    required when the drop dir is still empty at stream start.
     """
-    ts_is_long = _events_ts_is_long(events_dir)
+    if ts_is_long is None:
+        ts_is_long = _events_ts_is_long(events_dir)
     if ts_is_long:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
@@ -300,22 +310,29 @@ def run_user_totals_tws_to_memory(
 ) -> None:
     """Drain the transformWithState totals over all available files.
     RocksDB provider is required by the operator (heap provider
-    rejects it); set per-session, not globally, so the rest of the
-    suite keeps the default provider."""
+    rejects it); the previous provider conf is restored afterwards —
+    ``spark.conf.set`` is sticky on the shared session, and leaving
+    RocksDB active would silently move every LATER streaming query in
+    the session onto a different state store."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        key,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
-    q = (
-        running_user_totals_tws(stream_events(spark, events_dir))
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            running_user_totals_tws(stream_events(spark, events_dir))
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
 
 
 def run_user_totals_to_memory(

@@ -108,3 +108,53 @@ def test_scd1_stream_upserts_across_batches(spark, tmp_path):
     assert final[1] == "a" and final[3] == "c"
     assert final[2] in ("b", "b2")  # file order decides which batch won
     assert len(final) == 3
+
+
+def test_stream_static_dim_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension frame (no watermark needed — the static side is fully
+    known per micro-batch, and broadcasts). The per-type totals must
+    equal the batch join's."""
+    from bikes_data_warehouse_etl_spark.streaming.pipeline import stream_events
+
+    events_dir = str(tmp_path / "enrich_in")
+    os.makedirs(events_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir)
+
+    type_dim = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("purchase", 10), ("signup", 5)],
+        "event_type string, weight long",
+    )
+    enriched = (
+        stream_events(spark, events_dir)
+        .join(F.broadcast(type_dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("weight").alias("weight_sum"),
+        )
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_type"]: (r["n"], r["weight_sum"])
+        for r in spark.table("enrich_test").collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["weight_sum"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .join(type_dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("weight").alias("weight_sum"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) >= 3

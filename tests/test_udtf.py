@@ -23,6 +23,21 @@ def test_sentence_split_handles_abbreviations_and_decimals(spark):
     assert rows[0]["n_tokens"] == 5
 
 
+def test_sentence_split_dotted_abbreviations_and_initials(spark):
+    """'e.g.'/'i.e.' must not break at EITHER of their dots (the first
+    dot's tail is the single letter 'e'/'i' — the initials rule; the
+    second dot's tail is 'e.g' — the abbreviation list), and name
+    initials must not end sentences."""
+    rows = SentenceSplit(F.lit(
+        "See e.g. the appendix for details. J. Smith agreed. Done."
+    )).collect()
+    assert [r["sentence"] for r in rows] == [
+        "See e.g. the appendix for details.",
+        "J. Smith agreed.",
+        "Done.",
+    ]
+
+
 def test_sentence_split_lateral_over_table(spark, sf_dir):
     """Registered UDTF joins LATERAL per document row — the SQL calling
     convention a parse-once ingestion job uses."""

@@ -125,7 +125,12 @@ def main() -> int:
             if sf_tag == "sf0.01"
             else f"CORRECTNESS_local_{sf_tag}.json"
         )
-        out = os.path.join(os.path.dirname(os.path.dirname(__file__)), fname)
+        # abspath: a relative __file__ (cd tools && python verify_oracle.py)
+        # would otherwise resolve dirname(dirname(...)) to '' and write
+        # the artifact into the cwd instead of the repo root
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), fname
+        )
         with open(out, "w") as f:
             json.dump(
                 {
