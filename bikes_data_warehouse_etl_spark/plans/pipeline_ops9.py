@@ -66,10 +66,14 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole.
     """
     d = _t(spark, sf_dir, "documents")
+    # bucket hash is INTERNAL to the prune (any hash yields a superset
+    # — bucket sum >= member count regardless of function), invisible
+    # to the oracle, so use native xxhash64: the portable md5 hash64
+    # here cost a full md5 pass over every token occurrence, twice
     tok = (
         d.select(F.explode(tokens(F.col("text"))).alias("term"))
         .filter(F.col("term") != "")
-        .select("term", (hash64("term") % 8192).alias("b"))
+        .select("term", F.pmod(F.xxhash64("term"), F.lit(8192)).alias("b"))
     )
     sketch = tok.groupBy("b").agg(F.count(F.lit(1)).alias("bc")).collect()
     thr = sum(r.bc for r in sketch) // 512
