@@ -254,6 +254,62 @@ def q_unpivot_revenue_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Gap-fill / densification: zero-filled daily series per segment
 # ---------------------------------------------------------------------------
+_SQL_PRETOKENS = r"""
+    WITH pt AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]')) AS tok
+        FROM documents)
+    SELECT CASE WHEN tok ~ '^[A-Za-z]+$' THEN 'alpha'
+                WHEN tok ~ '^[0-9]+$' THEN 'digits'
+                ELSE 'punct' END AS tok_class,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+           CAST(SUM(len(tok)) AS BIGINT) AS n_chars
+    FROM pt GROUP BY 1
+    """
+
+
+@_q("pretoken_stats", _SQL_PRETOKENS)
+def q_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretokenization census: text split by the
+    GPT-2-family pretokenizer classes (letter runs, digit runs,
+    single punctuation marks) rather than whitespace, with per-class
+    token / type / char counts — the corpus profile that sizes a
+    tokenizer vocabulary (alpha types ≈ word vocabulary, digit runs ≈
+    number-splitting pressure, punct volume ≈ symbol table). The
+    regex sticks to POSIX classes so Spark (Java regex) and DuckDB
+    (RE2) tokenize byte-identically; `token_count` keeps the
+    whitespace form, `bpe_merge_candidates` consumes compatible runs.
+
+    Scale: regexp_extract_all is row-local (one Generate); the
+    aggregate key domain is THREE classes, so the count shuffle is
+    map-side-combined to nothing — but the distinct-type count keys on
+    the token string, so that branch shuffles the type vocabulary
+    (bounded by vocabulary, not corpus, size; at 100 TB hash tokens to
+    8-byte longs first, `oov_rate` shows the pattern).
+    """
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"
+            )
+        ).alias("tok"),
+    )
+    classed = toks.withColumn(
+        "tok_class",
+        F.when(F.col("tok").rlike("^[A-Za-z]+$"), "alpha")
+        .when(F.col("tok").rlike("^[0-9]+$"), "digits")
+        .otherwise("punct"),
+    )
+    return classed.groupBy("tok_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_distinct("tok").cast("long").alias("n_types"),
+        F.sum(F.length("tok")).cast("long").alias("n_chars"),
+    )
+
+
 _SQL_GAP_FILL = """
     WITH daily AS (
         SELECT c_mktsegment AS seg,

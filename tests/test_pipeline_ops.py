@@ -187,3 +187,26 @@ def test_key_skew_profile_invariants(spark, sf_dir):
     assert r["min_rows"] <= r["p99_rows"] <= r["max_rows"]
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     assert r["n_keys"] == li.select("l_partkey").distinct().count()
+
+
+def test_pretoken_regex_splits_all_three_classes(spark):
+    """The BPE-style pretokenizer regex must split letter runs, digit
+    runs, and SINGLE punctuation marks (the testdata corpus is
+    all-alpha, so the oracle only exercises one class — this pins the
+    other two on crafted text)."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "Call 911, it's A1-grade!")], "doc_id long, text string"
+    )
+    toks = df.select(
+        F.explode(
+            F.expr(
+                r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"
+            )
+        ).alias("tok")
+    )
+    got = [r["tok"] for r in toks.collect()]
+    assert got == [
+        "Call", "911", ",", "it", "'", "s", "A", "1", "-", "grade", "!",
+    ]
