@@ -59,11 +59,19 @@ def sign_lsh_bucket(a: Column | str, n_bits: int = 16) -> Column:
     agree on most signs → collide in coarse buckets. For production
     randomized hyperplanes, seed a projection matrix and broadcast it;
     the bucketing/join structure stays identical.
+
+    Vectors SHORTER than ``n_bits`` contribute 0 for the missing bits
+    (``F.get`` is null-safe; the ``> 0`` predicate is false on null) —
+    under Spark 4's default ANSI mode the previous ``element_at(arr,
+    i+1)`` threw INVALID_ARRAY_INDEX on the first short vector and
+    killed the job, while the driver-side query mirror silently
+    truncated; now both sides agree that absent dimensions hash as
+    non-positive.
     """
     arr = _c(a)
     acc = F.lit(0).cast("long")
     for i in range(n_bits):
         acc = acc + F.when(
-            F.element_at(arr, i + 1) > 0, F.lit(2**i).cast("long")
+            F.get(arr, i) > 0, F.lit(2**i).cast("long")
         ).otherwise(0)
     return acc

@@ -171,6 +171,15 @@ def _banded_buckets(
     """(id, band, bucket, bucket_n): one row per doc×band with the
     band's bucket id and the bucket's population — the shared stage of
     candidate generation and drop accounting."""
+    if n_hashes % bands != 0:
+        # silently flooring rows_per_band would compute-and-discard the
+        # trailing minhashes AND change the recall the banding formulas
+        # promise — a configuration error, not a preference
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by bands ({bands}): "
+            f"a {n_hashes // bands}-row banding would ignore the last "
+            f"{n_hashes % bands} minhash(es)"
+        )
     rows_per_band = n_hashes // bands
     sig = minhash_mins(df, text_col, id_col, n_hashes, shingle_k, hash_fn)
 
@@ -296,7 +305,29 @@ def ngram_jaccard_pairs(
     sh = (
         _exploded_shingles(df, text_col, id_col, shingle_k)
         .select("id", hash_fn("sh").alias("sh"))
-        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    if candidates is not None:
+        # restrict to candidate DOCS before the self-join — the whole
+        # point of LSH is to avoid the all-pairs stage, so verifying
+        # after a full self-join+aggregate would pay exactly the cost
+        # LSH exists to remove (Catalyst cannot push a join below the
+        # pair aggregate). Whole docs are kept, so per-doc shingle
+        # counts (the Jaccard denominator) are unaffected; one explode
+        # scans the candidate pair list once for both endpoints. The
+        # candidate frame feeds TWO joins (doc restriction here, exact
+        # pair restriction below) — a lazy localCheckpoint materializes
+        # the LSH pipeline once at first action instead of per consumer.
+        candidates = candidates.select("id_a", "id_b").localCheckpoint(
+            eager=False
+        )
+        cand_ids = (
+            candidates.select(
+                F.explode(F.array("id_a", "id_b")).alias("id")
+            ).distinct()
+        )
+        sh = sh.join(F.broadcast(cand_ids), "id", "left_semi")
+    sh = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
     )
 
     a = sh.select(F.col("id").alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
@@ -313,9 +344,7 @@ def ngram_jaccard_pairs(
         )
     )
     if candidates is not None:
-        common = common.join(
-            candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
-        )
+        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
     out = (
         common.withColumn(
             "jaccard_bp",
@@ -434,6 +463,7 @@ def neardup_components(
         .withColumn("label", F.col("node"))
     )
     last_ckpt = None
+    converged = False
     for i in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
@@ -466,8 +496,20 @@ def neardup_components(
                 prev.unpersist()
             last_ckpt = labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # truncated propagation returns WRONG component ids (two docs in
+        # one real component keep different labels) — the module's own
+        # rule is that silent truncation reads as "covered everything";
+        # fail loudly so the caller raises max_iter (diameter bound) or
+        # switches to the large-star/small-star iteration
+        raise RuntimeError(
+            f"neardup_components did not converge within max_iter="
+            f"{max_iter} rounds (graph diameter exceeds it); raise "
+            "max_iter — labels would be silently wrong, not approximate"
+        )
     if last_ckpt is not None and last_ckpt is not labels:
         # the returned frame must be SELF-CONTAINED before the lingering
         # checkpoint is dropped: a mere count() on the persisted labels

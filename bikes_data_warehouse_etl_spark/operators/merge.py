@@ -79,8 +79,23 @@ def scd1_merge(
     overwrite result is identical whether or not unchanged rows are
     rewritten — idempotent by construction (feeding the same batch
     twice changes nothing).
+
+    Source batches may carry several rows per business key (the ODS
+    load deduplicates full rows, not keys — same hazard scd2_merge
+    guards): without the per-key pick, both rows would union into the
+    target and break its PK invariant with no error. One row per key
+    wins deterministically — greatest non-key tuple (or
+    ``compare_cols`` when given), matching scd2's documented
+    precedence.
     """
-    untouched = tgt.join(src.select(*keys), on=list(keys), how="left_anti")
+    key_list = list(keys)
+    order_cols = (
+        list(compare_cols)
+        if compare_cols
+        else [c for c in src.columns if c not in set(key_list)]
+    )
+    src = _latest_per_key(src, key_list, order_cols)
+    untouched = tgt.join(src.select(*key_list), on=key_list, how="left_anti")
     return untouched.unionByName(src.select(*tgt.columns))
 
 
@@ -129,6 +144,25 @@ def scd2_merge(
     invariant.
     """
     key_list = list(keys)
+    scd_cols = {current_col, eff_col, exp_col} | (
+        {surrogate} if surrogate is not None else set()
+    )
+    uncovered = [
+        c
+        for c in tgt.columns
+        if c not in set(key_list) | set(compare_cols) | scd_cols
+    ]
+    if uncovered:
+        # new_rows are built from keys + compare_cols only, so any
+        # other target attribute would be unresolvable at the final
+        # union — fail up front with the actual constraint instead of
+        # an UNRESOLVED_COLUMN from deep inside the plan
+        raise ValueError(
+            f"scd2_merge: target columns {uncovered} are neither keys, "
+            "compare_cols, nor SCD bookkeeping columns - list them in "
+            "compare_cols (they will be carried on new versions and "
+            "change-tracked) or remove them from the target"
+        )
     src = _latest_per_key(src, key_list, compare_cols)
     current = tgt.filter(F.col(current_col) == 1)
     history = tgt.filter(F.col(current_col) != 1)

@@ -43,12 +43,25 @@ def orphan_rows(
 ) -> DataFrame:
     """Child rows whose FK has no parent (the referential integrity the
     reference keeps 'by convention only' — SURVEY §1.3). Anti-join on
-    the parent's key columns only (scan pruned to the keys)."""
+    the parent's key columns only (scan pruned to the keys).
+
+    NULL foreign keys are EXEMPT, per SQL's MATCH SIMPLE rule: a null
+    FK is 'no reference', not a broken one — this codebase itself
+    models null FKs as ordinary data (unattributed events, guest
+    checkouts; see operators/skew.py). Without the exemption the
+    anti-join (which never matches nulls) would report every null-FK
+    row as a violation, drowning real orphans. Audit null FKs
+    separately with :func:`null_violations` if they matter.
+    """
+    fk = list(fk)
     pk = list(pk or fk)
+    non_null = F.lit(True)
+    for c in fk:
+        non_null = non_null & F.col(c).isNotNull()
     parent_keys = parent.select(
         *[F.col(p).alias(f) for p, f in zip(pk, fk)]
-    ).dropDuplicates(list(fk))
-    return child.join(parent_keys, on=list(fk), how="left_anti")
+    ).dropDuplicates(fk)
+    return child.filter(non_null).join(parent_keys, on=fk, how="left_anti")
 
 
 def check_report(checks: dict[str, DataFrame]) -> dict[str, int]:

@@ -146,6 +146,12 @@ def ivf_assign(
     shuffle. At 100 TB, write the table ``partitionBy('centroid_id')``
     once and every probe becomes partition pruning.
     """
+    # sort by centroid id FIRST: array_position's first-max tie-break
+    # is list-ORDER, so an unsorted list would resolve ties to whichever
+    # id happened to come first — disagreeing with both the docstring
+    # and ivf_topk's driver-side (-cos, cid) ranking, which would then
+    # probe a different list than the tied vectors were assigned to
+    centroids = sorted(centroids)
     sims = F.array(
         *[cosine(F.col(vec_col), _query_lit(vec)) for _, vec in centroids]
     )

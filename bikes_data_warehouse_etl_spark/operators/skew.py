@@ -110,9 +110,15 @@ def null_split_left_join(
     matched = left.filter(F.col(left_key).isNotNull()).join(
         right, F.col(left_key) == F.col(right_key), "left"
     )
-    nulls = left.filter(F.col(left_key).isNull())
-    for field in right.schema.fields:
-        nulls = nulls.withColumn(
-            field.name, F.lit(None).cast(field.dataType)
-        )
+    # one select, not a withColumn-per-field loop: each withColumn call
+    # stacks a fresh Project node and re-analyzes — measurable on
+    # hundreds-of-column dims (multimodal.py's resize_dims batches for
+    # the same reason)
+    nulls = left.filter(F.col(left_key).isNull()).select(
+        "*",
+        *[
+            F.lit(None).cast(field.dataType).alias(field.name)
+            for field in right.schema.fields
+        ],
+    )
     return matched.unionByName(nulls)

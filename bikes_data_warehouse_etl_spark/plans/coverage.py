@@ -172,15 +172,15 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT 'lineitem->orders' AS relation, CAST(COUNT(*) AS BIGINT) AS n_orphans
     FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderkey IS NULL
+    WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL
     UNION ALL
     SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
     FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE p.p_partkey IS NULL
+    WHERE p.p_partkey IS NULL AND l.l_partkey IS NOT NULL
     UNION ALL
     SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE c.c_custkey IS NULL
+    WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL
     """,
 )
 def q_dq_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,5 +81,16 @@ def compact_parquet(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(staged)
-    shutil.rmtree(path)
+    # swap via rename-aside: a crash between a delete and a rename must
+    # never lose the table. After `old` is moved aside, `os.replace`
+    # installs the staged copy atomically; only then is the old data
+    # deleted. A crash leaves either the original intact (before the
+    # first rename) or both copies on disk (recoverable), never neither
+    # — the rmtree-then-replace form had a window where the table was
+    # simply gone.
+    old = path + "__old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.replace(path, old)
     os.replace(staged, path)
+    shutil.rmtree(old)

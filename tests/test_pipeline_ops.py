@@ -210,3 +210,20 @@ def test_pretoken_regex_splits_all_three_classes(spark):
     assert got == [
         "Call", "911", ",", "it", "'", "s", "A", "1", "-", "grade", "!",
     ]
+
+
+def test_neardup_components_raises_on_truncated_propagation(spark):
+    """Exhausting max_iter before the labels converge must raise —
+    truncated labels are WRONG (docs of one component keep different
+    ids), not approximate."""
+    import pytest
+
+    from bikes_data_warehouse_etl_spark.operators.dedup import (
+        neardup_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(chain, max_iter=5)

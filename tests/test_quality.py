@@ -97,3 +97,16 @@ def test_observe_dq_piggybacks_on_action(spark, sf_dir):
     assert m["n_null_l_orderkey"] == 0
     assert m["min_l_quantity"] >= 0
     assert m["max_l_quantity"] <= 50 + 1e-9
+
+
+def test_orphan_rows_exempts_null_foreign_keys(spark):
+    """MATCH SIMPLE: a NULL FK is 'no reference', not a violation —
+    only non-null keys missing from the parent are orphans."""
+    from bikes_data_warehouse_etl_spark.operators.quality import orphan_rows
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,)], "pk long")
+    got = {r["id"] for r in orphan_rows(child, parent, ["fk"], ["pk"]).collect()}
+    assert got == {3}  # null-FK row 2 exempt; row 3 is the real orphan

@@ -180,3 +180,38 @@ def test_sequential_ids_no_single_partition_exchange(spark):
     # the only SinglePartition allowed is the <=64-row offsets side
     lines = [ln for ln in plan.splitlines() if "Exchange SinglePartition" in ln]
     assert len(lines) <= 1
+
+
+def test_scd1_merge_dedups_duplicate_key_batches(spark):
+    """A source batch with two rows for one key must land EXACTLY one
+    row in the target (PK invariant) — chosen deterministically
+    (greatest non-key tuple), not both."""
+    from bikes_data_warehouse_etl_spark.operators.merge import scd1_merge
+
+    tgt = spark.createDataFrame([(1, "old")], "k long, v string")
+    src = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "x"), (2, "w")], "k long, v string"
+    )
+    out = scd1_merge(tgt, src, ["k"]).collect()
+    rows = {r["k"]: r["v"] for r in out}
+    assert len(out) == 2  # one row per key — no duplicate PKs
+    assert rows == {1: "b", 2: "x"}  # greatest non-key tuple wins
+
+
+def test_scd2_merge_rejects_uncovered_target_columns(spark):
+    """Target attributes outside keys+compare_cols+SCD bookkeeping
+    would be unresolvable when building new version rows — must fail
+    up front with the constraint spelled out, not UNRESOLVED_COLUMN
+    from inside the plan."""
+    import pytest
+
+    from bikes_data_warehouse_etl_spark.operators.merge import scd2_merge
+
+    tgt = spark.createDataFrame(
+        [(1, "n", "a", 1, "2020-01-01 00:00:00", None)],
+        "k long, name string, addr string, current_flag long, "
+        "effective_timestamp string, expire_timestamp string",
+    )
+    src = spark.createDataFrame([(1, "n2")], "k long, name string")
+    with pytest.raises(ValueError, match="addr"):
+        scd2_merge(tgt, src, ["k"], ["name"], run_ts="2024-01-01 00:00:00")

@@ -171,3 +171,11 @@ def test_exact_dedup_shuffle_key_is_hash_not_text(spark):
 
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert ex and all("content_hash" in ln for ln in ex)
+
+
+def test_banded_buckets_rejects_indivisible_bands(spark):
+    """Flooring rows_per_band would silently drop trailing minhashes
+    and change recall — a configuration error that must raise."""
+    df = _docs(spark, [(1, "alpha beta gamma delta")])
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_candidates(df, n_hashes=10, bands=4).collect()
