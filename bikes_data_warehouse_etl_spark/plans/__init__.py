@@ -19,5 +19,7 @@ from bikes_data_warehouse_etl_spark.plans import pipeline_ops12  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops13  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops14  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops15  # noqa: F401
+from bikes_data_warehouse_etl_spark.plans import pipeline_ops16  # noqa: F401
+from bikes_data_warehouse_etl_spark.plans import pipeline_ops17  # noqa: F401
 
 __all__ = ["build_date_dim", "QUERIES"]

@@ -18,6 +18,12 @@ EXPECTATIONS = {
     "semi_join_urgent_customers": ["LeftSemi"],
     # dims broadcast
     "cust_dim": ["BroadcastHashJoin"],
+    # Q9 shape: every star dim broadcasts, fact scans once
+    "profit_by_nation_year": ["BroadcastHashJoin"],
+    # Q16 shape: denylist compiles to a broadcast anti join
+    "supplier_part_census": ["LeftAnti", "BroadcastHashJoin"],
+    # triangle closure is a semi join, never a materialized third copy
+    "triangle_census": ["LeftSemi"],
 }
 
 FORBIDDEN = {
