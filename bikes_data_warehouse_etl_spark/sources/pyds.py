@@ -1,0 +1,81 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource``):
+a deterministic synthetic event generator, ``format("eventgen")``.
+
+Why an engine ships this: load tests, soak tests, and shuffle/agg
+benchmarks need N rows of realistic events WITHOUT reading storage —
+and the DataSource API is the sanctioned way to plug "not a file, not
+JDBC" sources (feature stores, internal RPC services, queue snapshots)
+into the planner with real partitioning, instead of
+``spark.createDataFrame`` driver-side materialization (which serializes
+every row through the driver and caps out at driver memory).
+
+Scale notes: ``partitions()`` declares the split — each InputPartition
+generates its slice independently on an executor, so 10^12 rows is
+just ``n_partitions`` tasks of streaming generators (rows yield one at
+a time; nothing materializes a partition in memory). Generation is a
+pure function of (seed, row index) — splittable, restartable,
+shuffle-free, and identical across retries, which is what makes the
+source usable under task re-execution.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def _u64(seed: int, i: int, salt: str) -> int:
+    """Deterministic 64-bit stream: md5 of (seed, salt, i) — the same
+    engine-portable construction functions/text.py hash64 uses."""
+    h = hashlib.md5(f"{seed}:{salt}:{i}".encode()).digest()
+    return int.from_bytes(h[:8], "big")
+
+
+class EventGenReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = int(options.get("n_partitions", 4))
+        self.seed = int(options.get("seed", 42))
+        self.n_users = int(options.get("n_users", 100))
+        self.start = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def partitions(self):
+        return [InputPartition(p) for p in range(self.n_parts)]
+
+    def read(self, partition: InputPartition):
+        p = partition.value
+        lo = self.n_rows * p // self.n_parts
+        hi = self.n_rows * (p + 1) // self.n_parts
+        for i in range(lo, hi):
+            uid = _u64(self.seed, i, "u") % self.n_users
+            etype = _EVENT_TYPES[_u64(self.seed, i, "t") % len(_EVENT_TYPES)]
+            # cents-granular value, deterministic
+            value = (_u64(self.seed, i, "v") % 1_000_000) / 100.0
+            ts = self.start + timedelta(seconds=_u64(self.seed, i, "s") % 2_592_000)
+            yield (i, uid, etype, value, ts.replace(tzinfo=None))
+
+
+class EventGenDataSource(DataSource):
+    """``spark.read.format("eventgen").option("n_rows", N).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "eventgen"
+
+    def schema(self) -> str:
+        return (
+            "event_id bigint, user_id bigint, event_type string, "
+            "value double, ts timestamp"
+        )
+
+    def reader(self, schema) -> EventGenReader:
+        return EventGenReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the eventgen format on a session."""
+    spark.dataSource.register(EventGenDataSource)

@@ -24,6 +24,8 @@ EXPECTATIONS = {
     "supplier_part_census": ["LeftAnti", "BroadcastHashJoin"],
     # triangle closure is a semi join, never a materialized third copy
     "triangle_census": ["LeftSemi"],
+    # pipe syntax compiles to the same top-k physical plan as ANSI
+    "pipe_sql_topk": ["TakeOrderedAndProject"],
 }
 
 FORBIDDEN = {

@@ -1,0 +1,72 @@
+"""Custom Python data source (eventgen): schema, partitioning,
+determinism, and downstream composability."""
+
+from __future__ import annotations
+
+import pytest
+
+from bikes_data_warehouse_etl_spark.sources.pyds import register
+
+
+@pytest.fixture(scope="module")
+def gen(spark):
+    register(spark)
+    return (
+        spark.read.format("eventgen")
+        .option("n_rows", 500)
+        .option("n_partitions", 4)
+        .option("seed", 7)
+    )
+
+
+def test_schema_and_counts(spark, gen):
+    df = gen.load()
+    assert df.schema.simpleString() == (
+        "struct<event_id:bigint,user_id:bigint,event_type:string,"
+        "value:double,ts:timestamp>"
+    )
+    assert df.count() == 500
+    assert df.rdd.getNumPartitions() == 4
+    # exact row-id coverage: no dupes, no gaps across partitions
+    ids = [r["event_id"] for r in df.select("event_id").collect()]
+    assert sorted(ids) == list(range(500))
+
+
+def test_deterministic_across_reads(spark, gen):
+    a = sorted(map(tuple, gen.load().collect()))
+    b = sorted(map(tuple, gen.load().collect()))
+    assert a == b
+
+
+def test_seed_changes_stream(spark, gen):
+    register(spark)
+    other = (
+        spark.read.format("eventgen")
+        .option("n_rows", 500)
+        .option("n_partitions", 4)
+        .option("seed", 8)
+        .load()
+    )
+    a = sorted(map(tuple, gen.load().collect()))
+    b = sorted(map(tuple, other.collect()))
+    assert a != b
+
+
+def test_composes_with_engine_ops(spark, gen):
+    """The generated frame must behave like any scanned table: here a
+    per-type rollup with integer cents."""
+    import pyspark.sql.functions as F
+
+    out = (
+        gen.load()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+        .collect()
+    )
+    assert sum(r["n"] for r in out) == 500
+    assert {r["event_type"] for r in out} <= {
+        "view", "click", "purchase", "signup", "error"
+    }
