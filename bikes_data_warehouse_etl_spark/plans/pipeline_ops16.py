@@ -361,15 +361,16 @@ _SQL_DAILY_ANOMALY = """
                    AS dollars
         FROM orders GROUP BY 1),
     w AS (
-        SELECT day, dollars,
+        SELECT day, dollars, dollars // 1000 AS dk,
                CAST(COUNT(*) OVER tw AS BIGINT) AS n_prev,
-               CAST(SUM(dollars) OVER tw AS BIGINT) AS s,
-               CAST(SUM(dollars * dollars) OVER tw AS BIGINT) AS ssq
+               CAST(SUM(dollars // 1000) OVER tw AS BIGINT) AS s,
+               CAST(SUM((dollars // 1000) * (dollars // 1000)) OVER tw
+                   AS BIGINT) AS ssq
         FROM daily
         WINDOW tw AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
     SELECT day, dollars,
            CAST(CASE WHEN n_prev >= 8 AND
-                     (n_prev * dollars - s) * (n_prev * dollars - s)
+                     (n_prev * dk - s) * (n_prev * dk - s)
                      > 9 * (n_prev * ssq - s * s)
                 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
     FROM w
@@ -382,17 +383,21 @@ def q_daily_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     each day is flagged when it sits more than 3 population standard
     deviations from the trailing-28-day mean (min 8 prior days). The
     z-test is INTEGER-exact cross-engine: z^2 > 9 is algebraically
-    (n*x - s)^2 > 9*(n*ssq - s^2) over bigint dollars, so no float
+    (n*x - s)^2 > 9*(n*ssq - s^2) over bigint KILOdollars, so no float
     mean/stddev ever exists to disagree in the last ulp — the
     monitoring twin of `winsorized_price_stats`'s robust-stats idea.
+    The test runs on kilodollar-floored values by contract (the z-test
+    is scale-invariant up to the rounding granularity, and at
+    million-dollar daily volumes a sub-$1000 wiggle is never the
+    anomaly): dollar-granularity squares overflow int64 once daily
+    revenue passes ~$10^8 x 28 days — the sf1 run hit exactly that —
+    while kilodollar squares are safe to ~$10^11/day.
 
     Scale: the rollup reduces the fact table to |days| rows; the
     trailing window then runs over ~2.5k rows. As written the window is
     one global ordering (fine at any sf since input is |days|); the
     100 TB form partitions the same frame by (segment, region, metric)
-    exactly as `rolling_7d_revenue` documents. Dollar-granularity keeps
-    (n*x-s)^2 inside int64 up to ~10^9-dollar days with n=28; past
-    that, re-scale to kilodollars (the test is scale-invariant).
+    exactly as `rolling_7d_revenue` documents.
     """
     daily = (
         _t(spark, sf_dir, "orders")
@@ -406,14 +411,16 @@ def q_daily_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d").cast("long").alias("dollars"))
     )
     tw = Window.orderBy("day").rowsBetween(-28, -1)
+    dk = F.expr("dollars div 1000")
     w = daily.select(
         "day",
         "dollars",
+        dk.alias("dk"),
         F.count(F.lit(1)).over(tw).cast("long").alias("n_prev"),
-        F.sum("dollars").over(tw).cast("long").alias("s"),
-        F.sum(F.col("dollars") * F.col("dollars")).over(tw).cast("long").alias("ssq"),
+        F.sum(dk).over(tw).cast("long").alias("s"),
+        F.sum(dk * dk).over(tw).cast("long").alias("ssq"),
     )
-    dev = F.col("n_prev") * F.col("dollars") - F.col("s")
+    dev = F.col("n_prev") * F.col("dk") - F.col("s")
     var_n2 = F.col("n_prev") * F.col("ssq") - F.col("s") * F.col("s")
     return w.select(
         "day",

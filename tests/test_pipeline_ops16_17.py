@@ -95,7 +95,10 @@ def test_pareto_suppliers_no_self_join(spark, sf_dir):
 # ---------------------------------------------------------------------------
 def test_mad_matches_python(spark, sf_dir):
     orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
-    cents = (orders["o_totalprice"] * 100).round(0).astype("int64")
+    # dollar-granularity contract (histogram bounded by price domain)
+    import numpy as np
+
+    dollars = pd.Series(np.floor(orders["o_totalprice"]).astype("int64"))
 
     def lower_median(s):
         s = s.sort_values().reset_index(drop=True)
@@ -103,13 +106,13 @@ def test_mad_matches_python(spark, sf_dir):
         # smallest value with 2*cum >= n + n%2  (rank ceil((n+parity)/2))
         return int(s.iloc[(n + n % 2 + 1) // 2 - 1])
 
-    med = lower_median(cents)
-    dev = (cents - med).abs()
+    med = lower_median(dollars)
+    dev = (dollars - med).abs()
     mad = lower_median(dev)
     out = _run(spark, sf_dir, "mad_price_outliers").iloc[0]
-    assert out["med_cents"] == med
-    assert out["mad_cents"] == mad
-    assert out["n_orders"] == len(cents)
+    assert out["med_dollars"] == med
+    assert out["mad_dollars"] == mad
+    assert out["n_orders"] == len(dollars)
     assert out["n_outliers"] == int((dev > 3 * mad).sum())
 
 
@@ -147,19 +150,21 @@ def test_new_vs_returning_invariants(spark, sf_dir):
 
 def test_daily_anomaly_flag_math(spark, sf_dir):
     out = _run(spark, sf_dir, "daily_anomaly_flags").sort_values("day")
-    dollars = out["dollars"].to_numpy()
+    # the z-test contract runs on kilodollar-floored values (overflow
+    # headroom to ~$1e11/day; see the query docstring)
+    dk = (out["dollars"].to_numpy() // 1000).astype(object)
     flags = out["anomaly"].to_numpy()
-    n = len(dollars)
+    n = len(dk)
     for i in range(n):
         lo = max(0, i - 28)
-        prev = dollars[lo:i]
+        prev = dk[lo:i]
         k = len(prev)
         if k < 8:
             assert flags[i] == 0
             continue
         s = int(prev.sum())
-        ssq = int((prev.astype(object) ** 2).sum())
-        dev = k * int(dollars[i]) - s
+        ssq = int((prev ** 2).sum())
+        dev = k * int(dk[i]) - s
         expected = 1 if dev * dev > 9 * (k * ssq - s * s) else 0
         assert flags[i] == expected, f"day index {i}"
 
