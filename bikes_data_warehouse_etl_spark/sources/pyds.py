@@ -23,7 +23,12 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 
@@ -59,8 +64,48 @@ class EventGenReader(DataSourceReader):
             yield (i, uid, etype, value, ts.replace(tzinfo=None))
 
 
+class EventGenStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch twin of the batch reader: the offset IS the row
+    index, so batches are contiguous slices of the same deterministic
+    (seed, index) stream. ``readBetweenOffsets`` replays any slice
+    bit-identically — exactly-once replay under checkpoint recovery
+    costs nothing because generation is a pure function, the same
+    property that makes the batch source retry-safe."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows_per_batch", 50))
+        self.n_total = int(options.get("n_total", 0))  # 0 = unbounded
+        self.gen = EventGenReader(
+            {**options, "n_rows": 1, "n_partitions": 1}
+        )
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def _rows(self, lo: int, hi: int):
+        r = self.gen
+        for i in range(lo, hi):
+            uid = _u64(r.seed, i, "u") % r.n_users
+            etype = _EVENT_TYPES[_u64(r.seed, i, "t") % len(_EVENT_TYPES)]
+            value = (_u64(r.seed, i, "v") % 1_000_000) / 100.0
+            ts = r.start + timedelta(seconds=_u64(r.seed, i, "s") % 2_592_000)
+            yield (i, uid, etype, value, ts.replace(tzinfo=None))
+
+    def read(self, start: dict):
+        lo = start["index"]
+        hi = lo + self.rows_per_batch
+        if self.n_total:
+            hi = min(hi, self.n_total)
+        return iter(list(self._rows(lo, hi))), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(start["index"], end["index"])))
+
+
 class EventGenDataSource(DataSource):
-    """``spark.read.format("eventgen").option("n_rows", N).load()``."""
+    """``spark.read.format("eventgen").option("n_rows", N).load()`` —
+    or ``spark.readStream.format("eventgen")`` for the micro-batch
+    twin of the same deterministic stream."""
 
     @classmethod
     def name(cls) -> str:
@@ -74,6 +119,9 @@ class EventGenDataSource(DataSource):
 
     def reader(self, schema) -> EventGenReader:
         return EventGenReader(self.options)
+
+    def simpleStreamReader(self, schema) -> EventGenStreamReader:
+        return EventGenStreamReader(self.options)
 
 
 def register(spark) -> None:

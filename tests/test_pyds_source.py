@@ -70,3 +70,41 @@ def test_composes_with_engine_ops(spark, gen):
     assert {r["event_type"] for r in out} <= {
         "view", "click", "purchase", "signup", "error"
     }
+
+
+def test_streaming_twin_matches_batch(spark, tmp_path):
+    """The micro-batch stream must produce the SAME rows as the batch
+    reader over the same (seed, index) range — one generator, two
+    execution modes."""
+    import time
+
+    register(spark)
+    opts = {"seed": "7", "n_users": "100"}
+    stream = (
+        spark.readStream.format("eventgen")
+        .options(rows_per_batch="60", n_total="200", **opts)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("eventgen_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("eventgen_stream").count() >= 200:
+                break
+            time.sleep(0.5)
+        got = sorted(map(tuple, spark.table("eventgen_stream").collect()))
+    finally:
+        q.stop()
+    batch = (
+        spark.read.format("eventgen")
+        .options(n_rows="200", n_partitions="4", **opts)
+        .load()
+    )
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
