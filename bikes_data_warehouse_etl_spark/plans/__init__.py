@@ -25,5 +25,8 @@ from bikes_data_warehouse_etl_spark.plans import pipeline_ops18  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops19  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops20  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops21  # noqa: F401
+from bikes_data_warehouse_etl_spark.plans import pipeline_ops22  # noqa: F401
+from bikes_data_warehouse_etl_spark.plans import pipeline_ops23  # noqa: F401
+from bikes_data_warehouse_etl_spark.plans import pipeline_ops24  # noqa: F401
 
 __all__ = ["build_date_dim", "QUERIES"]
