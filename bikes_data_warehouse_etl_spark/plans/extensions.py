@@ -655,7 +655,7 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     """
     WITH ordered AS (
-      SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+      SELECT user_id, event_id, ts, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
              LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
       FROM events
     ),
@@ -664,7 +664,7 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     ),
     sessions AS (
-      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM marked
     )

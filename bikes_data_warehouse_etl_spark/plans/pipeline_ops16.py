@@ -230,12 +230,19 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Graph: co-order supplier triangle census + clustering coefficient
+# Graph: co-order supplier edges (SHARED by triangle_census here and
+# degree_distribution in pipeline_ops19 — one definition, one threshold)
 # ---------------------------------------------------------------------------
 _MIN_COORDERS = 4
 
-_SQL_TRIANGLE_CENSUS = f"""
-    WITH pair_rows AS (
+
+def sql_coorder_edge_ctes(min_coorders: int = _MIN_COORDERS) -> str:
+    """Oracle CTE text for the co-order supplier edge set ``e(a, b)``
+    (ID-oriented a < b, >= min_coorders distinct shared orders). The
+    oracle deliberately spells the naive fact self-join; the Spark
+    twin (`co_order_edges`) uses the basket pattern, and every hash
+    match across the graph-query family proves them equal."""
+    return f"""pair_rows AS (
         SELECT a.l_suppkey AS a, b.l_suppkey AS b, a.l_orderkey AS ok
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
@@ -243,7 +250,47 @@ _SQL_TRIANGLE_CENSUS = f"""
         SELECT a, b FROM (
             SELECT a, b, COUNT(DISTINCT ok) AS n_ord
             FROM pair_rows GROUP BY a, b)
-        WHERE n_ord >= {_MIN_COORDERS}),
+        WHERE n_ord >= {min_coorders})"""
+
+
+def co_order_edges(
+    spark: SparkSession, sf_dir: str, min_coorders: int = _MIN_COORDERS
+) -> DataFrame:
+    """Spark twin of `sql_coorder_edge_ctes`: basket-pattern edge build
+    — one collect_set shuffle on the order key, unordered pairs
+    generated ROW-LOCALLY from each bounded basket, and because the
+    basket is a SET, a plain COUNT per pair IS the distinct co-order
+    count (no count-distinct Expand). Returns ``e(a, b)``; callers
+    decide whether to localCheckpoint (triangle_census does — its edge
+    set feeds five consumers)."""
+    sets = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.collect_set("l_suppkey").alias("sks"))
+        .where(F.size("sks") >= 2)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sks, x -> "
+                "filter(transform(sks, y -> struct(x as a, y as b)), "
+                "p -> p.a < p.b)))"
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+        .filter(F.col("n_ord") >= min_coorders)
+        .select("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: co-order supplier triangle census + clustering coefficient
+# ---------------------------------------------------------------------------
+_SQL_TRIANGLE_CENSUS = f"""
+    WITH {sql_coorder_edge_ctes()},
     deg AS (
         SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
             SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
@@ -253,7 +300,7 @@ _SQL_TRIANGLE_CENSUS = f"""
         FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
           ON e3.a = e1.a AND e3.b = e2.b),
     wed AS (
-        SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+        SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
                CAST(COUNT(*) AS BIGINT) AS n_nodes
         FROM deg)
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
@@ -291,28 +338,7 @@ def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold already caps degree. The census scalars join as 1-row
     broadcasts.
     """
-    sets = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_orderkey").alias("ok"))
-        .agg(F.collect_set("l_suppkey").alias("sks"))
-        .where(F.size("sks") >= 2)
-    )
-    pairs = sets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sks, x -> "
-                "filter(transform(sks, y -> struct(x as a, y as b)), "
-                "p -> p.a < p.b)))"
-            )
-        ).alias("e")
-    ).select("e.a", "e.b")
-    e = (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_ord"))
-        .filter(F.col("n_ord") >= _MIN_COORDERS)
-        .select("a", "b")
-        .localCheckpoint(eager=False)
-    )
+    e = co_order_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))

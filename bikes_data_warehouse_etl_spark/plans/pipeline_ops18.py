@@ -21,7 +21,7 @@ from bikes_data_warehouse_etl_spark.plans.synthetic import _q, _t
 # ---------------------------------------------------------------------------
 _SQL_SESSION_QUALITY = """
     WITH ordered AS (
-        SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+        SELECT user_id, event_id, ts, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
                LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
         FROM events),
@@ -31,7 +31,7 @@ _SQL_SESSION_QUALITY = """
         FROM ordered),
     sess AS (
         SELECT user_id,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS seq,
                es
         FROM marked),
@@ -89,7 +89,11 @@ def q_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0),
     )
-    ws = Window.partitionBy("user_id").orderBy("es", "event_id").rowsBetween(
+    # SAME (ts, event_id) order as the lag window above and as
+    # events_sessionize — an es-ordered cumsum would disagree with the
+    # ts-ordered boundary marker on sub-second ties whose event_id
+    # order opposes their ts order
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     sess = marked.withColumn("seq", F.sum("is_new").over(ws))

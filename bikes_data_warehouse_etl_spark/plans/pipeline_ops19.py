@@ -11,25 +11,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
+from bikes_data_warehouse_etl_spark.plans.pipeline_ops16 import (
+    co_order_edges,
+    sql_coorder_edge_ctes,
+)
 from bikes_data_warehouse_etl_spark.plans.synthetic import _q, _t
 
 
 # ---------------------------------------------------------------------------
 # Degree distribution of the supplier co-order graph (32-wide bins)
 # ---------------------------------------------------------------------------
-_DEG_MIN_COORDERS = 4
 _DEG_BIN = 32
 
 _SQL_DEGREE_DISTRIBUTION = f"""
-    WITH pair_rows AS (
-        SELECT a.l_suppkey AS a, b.l_suppkey AS b, a.l_orderkey AS ok
-        FROM lineitem a JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
-    e AS (
-        SELECT a, b FROM (
-            SELECT a, b, COUNT(DISTINCT ok) AS n_ord
-            FROM pair_rows GROUP BY a, b)
-        WHERE n_ord >= {_DEG_MIN_COORDERS}),
+    WITH {sql_coorder_edge_ctes()},
     deg AS (
         SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
             SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
@@ -52,34 +47,16 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     will cost. Histogram bins keep the output bounded by MAX-DEGREE/32
     rows regardless of graph size.
 
-    Scale: edges come from the basket pattern (one collect_set shuffle
-    on the order key, row-local pair generation — never a fact
-    self-join; the oracle spells the equivalent self-join form and the
-    hash match proves them equal). Degrees are one (node) aggregate
-    over the symmetrized edge stream; the binned rollup is map-side
-    combined to near-nothing.
+    Scale: edges come from the SHARED builder
+    (`pipeline_ops16.co_order_edges` — basket pattern, one collect_set
+    shuffle, row-local pair generation, never a fact self-join; its
+    oracle twin `sql_coorder_edge_ctes` spells the naive self-join and
+    the hash match proves them equal). Sharing the builder means this
+    query and `triangle_census` cannot silently diverge on the edge
+    definition. Degrees are one (node) aggregate over the symmetrized
+    edge stream; the binned rollup is map-side combined to nothing.
     """
-    sets = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_orderkey").alias("ok"))
-        .agg(F.collect_set("l_suppkey").alias("sks"))
-        .where(F.size("sks") >= 2)
-    )
-    pairs = sets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sks, x -> "
-                "filter(transform(sks, y -> struct(x as a, y as b)), "
-                "p -> p.a < p.b)))"
-            )
-        ).alias("e")
-    ).select("e.a", "e.b")
-    e = (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_ord"))
-        .filter(F.col("n_ord") >= _DEG_MIN_COORDERS)
-        .select("a", "b")
-    )
+    e = co_order_edges(spark, sf_dir)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))

@@ -45,7 +45,7 @@ _SQL_DECAY_PROJECTION = f"""
 @_q("revenue_decay_projection", _SQL_DECAY_PROJECTION)
 def q_revenue_decay_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 WITH RECURSIVE): the final actual year's
-    revenue per region projected {_N_PERIODS} periods forward at a 95%
+    revenue per region projected six periods forward at a 95%
     integer-decay — the run-off/churn projection every finance rollup
     keeps, expressed as NATIVE recursive SQL on BOTH engines (the
     DuckDB oracle is textually the same recursion), so the hash match

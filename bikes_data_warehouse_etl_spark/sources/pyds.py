@@ -40,13 +40,28 @@ def _u64(seed: int, i: int, salt: str) -> int:
     return int.from_bytes(h[:8], "big")
 
 
+_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _gen_rows(seed: int, n_users: int, lo: int, hi: int):
+    """THE row generator — batch reader, stream reader, and stream
+    replay all call this one function, so 'stream == batch' is true by
+    construction, not by keeping copies in sync."""
+    for i in range(lo, hi):
+        uid = _u64(seed, i, "u") % n_users
+        etype = _EVENT_TYPES[_u64(seed, i, "t") % len(_EVENT_TYPES)]
+        # cents-granular value, deterministic
+        value = (_u64(seed, i, "v") % 1_000_000) / 100.0
+        ts = _START + timedelta(seconds=_u64(seed, i, "s") % 2_592_000)
+        yield (i, uid, etype, value, ts.replace(tzinfo=None))
+
+
 class EventGenReader(DataSourceReader):
     def __init__(self, options: dict):
         self.n_rows = int(options.get("n_rows", 1000))
         self.n_parts = int(options.get("n_partitions", 4))
         self.seed = int(options.get("seed", 42))
         self.n_users = int(options.get("n_users", 100))
-        self.start = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
     def partitions(self):
         return [InputPartition(p) for p in range(self.n_parts)]
@@ -55,13 +70,7 @@ class EventGenReader(DataSourceReader):
         p = partition.value
         lo = self.n_rows * p // self.n_parts
         hi = self.n_rows * (p + 1) // self.n_parts
-        for i in range(lo, hi):
-            uid = _u64(self.seed, i, "u") % self.n_users
-            etype = _EVENT_TYPES[_u64(self.seed, i, "t") % len(_EVENT_TYPES)]
-            # cents-granular value, deterministic
-            value = (_u64(self.seed, i, "v") % 1_000_000) / 100.0
-            ts = self.start + timedelta(seconds=_u64(self.seed, i, "s") % 2_592_000)
-            yield (i, uid, etype, value, ts.replace(tzinfo=None))
+        return _gen_rows(self.seed, self.n_users, lo, hi)
 
 
 class EventGenStreamReader(SimpleDataSourceStreamReader):
@@ -75,31 +84,25 @@ class EventGenStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self.rows_per_batch = int(options.get("rows_per_batch", 50))
         self.n_total = int(options.get("n_total", 0))  # 0 = unbounded
-        self.gen = EventGenReader(
-            {**options, "n_rows": 1, "n_partitions": 1}
-        )
+        self.seed = int(options.get("seed", 42))
+        self.n_users = int(options.get("n_users", 100))
 
     def initialOffset(self):
         return {"index": 0}
-
-    def _rows(self, lo: int, hi: int):
-        r = self.gen
-        for i in range(lo, hi):
-            uid = _u64(r.seed, i, "u") % r.n_users
-            etype = _EVENT_TYPES[_u64(r.seed, i, "t") % len(_EVENT_TYPES)]
-            value = (_u64(r.seed, i, "v") % 1_000_000) / 100.0
-            ts = r.start + timedelta(seconds=_u64(r.seed, i, "s") % 2_592_000)
-            yield (i, uid, etype, value, ts.replace(tzinfo=None))
 
     def read(self, start: dict):
         lo = start["index"]
         hi = lo + self.rows_per_batch
         if self.n_total:
             hi = min(hi, self.n_total)
-        return iter(list(self._rows(lo, hi))), {"index": hi}
+        return iter(list(_gen_rows(self.seed, self.n_users, lo, hi))), {
+            "index": hi
+        }
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(list(self._rows(start["index"], end["index"])))
+        return iter(
+            list(_gen_rows(self.seed, self.n_users, start["index"], end["index"]))
+        )
 
 
 class EventGenDataSource(DataSource):
