@@ -65,3 +65,46 @@ def test_priority_mix_shift_shares(spark, sf_dir):
     for col in ("early_bp", "late_bp"):
         assert 10000 - len(out) < out[col].sum() <= 10000
     assert (out["abs_shift_bp"] == (out["late_bp"] - out["early_bp"]).abs()).all()
+
+
+def test_session_windows_agree_on_subsecond_ties(spark):
+    """Regression: the boundary marker orders by (ts, event_id) — raw
+    microsecond timestamps — while gap math runs on floor-second es.
+    When two events share a floor second but their event_id order
+    opposes their ts order, BOTH windows must still use the same (ts,
+    event_id) order; an es-ordered cumsum would visit the rows in a
+    different order than the marker was computed in and mis-group
+    sessions."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rows = [
+        # user 1: B(id=2) at .100 precedes A(id=1) at .900 in ts order,
+        # opposing event_id order; same floor second -> es tie
+        (1, 2, dt.datetime(2024, 1, 1, 10, 0, 0, 100000)),
+        (1, 1, dt.datetime(2024, 1, 1, 10, 0, 0, 900000)),
+        # a later second event far enough to start a new session
+        (1, 3, dt.datetime(2024, 1, 1, 11, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    e = df.select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("es"), "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("es").over(w).isNull()
+            | (F.col("es") - F.lag("es").over(w) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = marked.withColumn("seq", F.sum("is_new").over(ws))
+    per = sess.groupBy("user_id", "seq").count().collect()
+    # exactly two sessions: {B, A} then {C} — the tie pair stays together
+    assert sorted(r["count"] for r in per) == [1, 2]
