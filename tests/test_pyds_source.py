@@ -108,3 +108,55 @@ def test_streaming_twin_matches_batch(spark, tmp_path):
     )
     want = sorted(map(tuple, batch.collect()))
     assert got == want
+
+
+def test_stream_composes_with_windowed_agg(spark, tmp_path):
+    """The custom streaming source must drive the real streaming
+    engine: a tumbling event-time window over the eventgen stream
+    equals the same window computed in batch over the same rows."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    register(spark)
+    opts = {"seed": "11", "n_users": "20"}
+    stream = (
+        spark.readStream.format("eventgen")
+        .options(rows_per_batch="100", n_total="300", **opts)
+        .load()
+    )
+    agg = stream.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("eventgen_windows")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        batch = (
+            spark.read.format("eventgen")
+            .options(n_rows="300", n_partitions="2", **opts)
+            .load()
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        want = sorted(
+            (r["w"]["start"], r["event_type"], r["n"]) for r in batch.collect()
+        )
+        deadline = time.time() + 60
+        got = None
+        while time.time() < deadline:
+            got = sorted(
+                (r["w"]["start"], r["event_type"], r["n"])
+                for r in spark.table("eventgen_windows").collect()
+            )
+            if got == want:
+                break
+            time.sleep(0.5)
+        assert got == want
+    finally:
+        q.stop()
