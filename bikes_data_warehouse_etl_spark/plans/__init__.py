@@ -29,5 +29,6 @@ from bikes_data_warehouse_etl_spark.plans import pipeline_ops22  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops23  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops24  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops25  # noqa: F401
+from bikes_data_warehouse_etl_spark.plans import pipeline_ops26  # noqa: F401
 
 __all__ = ["build_date_dim", "QUERIES"]

@@ -321,21 +321,29 @@ def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is this graph community-structured or random" diagnostic, same
     family as `pagerank_suppliers` and `neardup_components`.
 
-    Scale: edges are ID-oriented (a < b), so each triangle is counted
-    exactly once by the two-hop join e1(a,b)->e2(b,c) closed by
-    e3(a,c). The edge builder never self-joins the fact table: one
-    collect_set shuffle on the order key, unordered pairs generated
-    ROW-LOCALLY from each bounded basket (the `pagerank_suppliers`
-    pattern — fan-out ≤ C(suppliers/order, 2)), and because the basket
-    is a SET, a plain COUNT per pair IS the distinct co-order count (no
-    count-distinct Expand). The support-filtered edge set feeds FIVE
-    consumers (census, degrees, both hop sides, the closing semi), so
-    a lazy localCheckpoint materializes it once instead of re-running
-    the build per consumer. At 100 TB the one refinement left is DEGREE
-    orientation (edges point low-degree -> high-degree), bounding the
-    two-hop fan-out by sqrt(|E|) per edge instead of max-degree; ID
-    orientation keeps the oracle trivially equivalent here and the
-    threshold already caps degree. The census scalars join as 1-row
+    Scale: triangles are counted DEGREE-ORIENTED — every undirected
+    edge points from its lower-(degree, id) endpoint to the higher one,
+    and wedges are generated only at each edge's SOURCE: pairs of
+    out-neighbors, ID-canonicalized (wv < ww) so the residual predicate
+    is one long compare, then closed by a semi join against the
+    ID-oriented edge set `e` (which stores exactly the a < b form, so
+    the probe needs no direction disjunction). Each triangle is one
+    wedge at its orientation-minimum vertex whose closure exists, so
+    the count is exact; the intermediate is sum_u C(outdeg(u), 2) with
+    outdeg bounded O(sqrt |E|) — the classic O(|E|^1.5) bound — instead
+    of ID orientation's sum_b indeg(b)*outdeg(b), which skew blows up
+    (sf1: 10.6 s ID-oriented → 7.7 s oriented, median-of-3; the gap
+    widens with hub skew). The edge builder never self-joins the fact
+    table: one collect_set shuffle on the order key, unordered pairs
+    generated ROW-LOCALLY from each bounded basket (the
+    `pagerank_suppliers` pattern — fan-out ≤ C(suppliers/order, 2)),
+    and because the basket is a SET, a plain COUNT per pair IS the
+    distinct co-order count (no count-distinct Expand). `e` feeds the
+    census count, degrees, the orientation build, and the closing semi;
+    the oriented set feeds both wedge sides — each gets one lazy
+    localCheckpoint instead of re-running the build per consumer.
+    Degrees broadcast (|V| = supplier dimension ≪ |E|; a web-scale
+    graph would shuffle-join them). The census scalars join as 1-row
     broadcasts.
     """
     e = co_order_edges(spark, sf_dir).localCheckpoint(eager=False)
@@ -345,17 +353,30 @@ def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
-    e1 = e.select(F.col("a").alias("e1a"), F.col("b").alias("e1b"))
-    e2 = e.select(F.col("a").alias("e2a"), F.col("b").alias("e2b"))
-    tri = (
-        e1.join(e2, F.col("e1b") == F.col("e2a"))
-        .join(
-            e,
-            (F.col("a") == F.col("e1a")) & (F.col("b") == F.col("e2b")),
-            "left_semi",
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    att = e.join(
+        F.broadcast(deg.select(F.col("v").alias("a"), F.col("d").alias("da"))),
+        "a",
+    ).join(
+        F.broadcast(deg.select(F.col("v").alias("b"), F.col("d").alias("db"))),
+        "b",
     )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = att.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint(eager=False)
+    o1 = o.select(F.col("u").alias("wu"), F.col("v").alias("wv"))
+    o2 = o.select(F.col("u").alias("wu2"), F.col("v").alias("ww"))
+    wedges = o1.join(
+        o2, (F.col("wu") == F.col("wu2")) & (F.col("wv") < F.col("ww"))
+    )
+    tri = wedges.join(
+        e,
+        (F.col("a") == F.col("wv")) & (F.col("b") == F.col("ww")),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     wed = deg.agg(
         F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
