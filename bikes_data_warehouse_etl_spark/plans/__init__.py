@@ -30,5 +30,7 @@ from bikes_data_warehouse_etl_spark.plans import pipeline_ops23  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops24  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops25  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops26  # noqa: F401
+from bikes_data_warehouse_etl_spark.plans import pipeline_ops27  # noqa: F401
+from bikes_data_warehouse_etl_spark.plans import pipeline_ops28  # noqa: F401
 
 __all__ = ["build_date_dim", "QUERIES"]
