@@ -41,6 +41,7 @@ __all__ = [
     "minhash_candidates",
     "lsh_dropped_buckets",
     "ngram_jaccard_pairs",
+    "simhash_per_doc",
     "simhash_groups",
 ]
 
@@ -357,23 +358,22 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
 
 
-def simhash_groups(
+def simhash_per_doc(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 16,
     hash_fn=hash64,
 ) -> DataFrame:
-    """SimHash signatures; identical signatures = near-dup group.
+    """Per-document SimHash signature: (id, simhash).
 
     Computed explode-wise: one md5 per token, then ``bits`` conditional
     sums in a single map-side-combined aggregation (the per-row
     array-fold variant — functions/text.py ``simhash`` — re-evaluates
     the token pipeline once per bit under interpreted higher-order
-    functions; this shape is linear in tokens).
-
-    Members as a CSV string (portable across result transports that
-    mangle array columns).
+    functions; this shape is linear in tokens). Shared by
+    :func:`simhash_groups` (exact-signature grouping) and the
+    multi-probe Hamming-neighbor join (plans/pipeline_ops33.py).
     """
     from bikes_data_warehouse_etl_spark.functions.text import tokens
 
@@ -391,8 +391,23 @@ def simhash_groups(
     sig = F.lit(0).cast("long")
     for b in range(bits):
         sig = sig + F.when(F.col(f"c{b}") > 0, F.lit(2**b).cast("long")).otherwise(0)
+    return contribs.select("id", sig.alias("simhash"))
+
+
+def simhash_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    hash_fn=hash64,
+) -> DataFrame:
+    """SimHash signatures; identical signatures = near-dup group.
+
+    Members as a CSV string (portable across result transports that
+    mangle array columns). Signature build: :func:`simhash_per_doc`.
+    """
     return (
-        contribs.select("id", sig.alias("simhash"))
+        simhash_per_doc(df, text_col, id_col, bits, hash_fn)
         .groupBy("simhash")
         .agg(
             F.min("id").alias("keep_id"),
