@@ -43,5 +43,7 @@ from bikes_data_warehouse_etl_spark.plans import pipeline_ops36  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops37  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops38  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops39  # noqa: F401
+from bikes_data_warehouse_etl_spark.plans import pipeline_ops40  # noqa: F401
+from bikes_data_warehouse_etl_spark.plans import pipeline_ops41  # noqa: F401
 
 __all__ = ["build_date_dim", "QUERIES"]
