@@ -53,5 +53,6 @@ from bikes_data_warehouse_etl_spark.plans import pipeline_ops46  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops47  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops48  # noqa: F401
 from bikes_data_warehouse_etl_spark.plans import pipeline_ops49  # noqa: F401
+from bikes_data_warehouse_etl_spark.plans import pipeline_ops50  # noqa: F401
 
 __all__ = ["build_date_dim", "QUERIES"]
