@@ -208,8 +208,12 @@ _SQL_EWMA = f"""
         FROM contrib GROUP BY 1)
     SELECT s.day AS day,
            CAST(COALESCE(r.cents, 0) AS BIGINT) AS rev_cents,
-           CAST(COALESCE(n.num, 0) * 1000
-                // ((CAST(1 AS BIGINT) << {_EWMA_W}) - 1)
+           -- (num*1000) div D without the intermediate overflow:
+           -- a*k div d == (a div d)*k + ((a mod d)*k) div d, exactly
+           CAST((COALESCE(n.num, 0) // ((CAST(1 AS BIGINT) << {_EWMA_W}) - 1))
+                    * 1000
+                + (COALESCE(n.num, 0) % ((CAST(1 AS BIGINT) << {_EWMA_W}) - 1))
+                    * 1000 // ((CAST(1 AS BIGINT) << {_EWMA_W}) - 1)
                AS BIGINT) AS ewma_milli_cents
     FROM spine s
     LEFT JOIN rev r ON r.day = s.day
@@ -276,8 +280,14 @@ def q_ewma_revenue_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias(
                 "rev_cents"
             ),
+            # (num*1000) div D via the split identity — num*1000 alone
+            # overflows int64 at sf1 daily volumes (caught by the sf1
+            # bench run); (a div d)*k + ((a mod d)*k) div d is exact
             F.expr(
-                f"CAST(COALESCE(num, 0) * 1000 div "
+                f"CAST((COALESCE(num, 0) div "
+                f"(shiftleft(CAST(1 AS BIGINT), {_EWMA_W}) - 1)) * 1000"
+                f" + (COALESCE(num, 0) % "
+                f"(shiftleft(CAST(1 AS BIGINT), {_EWMA_W}) - 1)) * 1000 div "
                 f"(shiftleft(CAST(1 AS BIGINT), {_EWMA_W}) - 1) AS BIGINT)"
             ).alias("ewma_milli_cents"),
         )
