@@ -11,7 +11,7 @@ inputs, composed in the same op order on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from bikes_data_warehouse_etl_spark.functions.text import hash64
