@@ -44,14 +44,14 @@ _SQL_PRICE_INDEX = f"""
         FROM pq GROUP BY 1),
     both_years AS (
         SELECT pk, q0, q1,
-               s0 * 1000 // q0 AS p0_milli,
-               s1 * 1000 // q1 AS p1_milli
+               s0 // q0 AS p0_cents,
+               s1 // q1 AS p1_cents
         FROM wide
         WHERE q0 IS NOT NULL AND q1 IS NOT NULL AND q0 > 0 AND q1 > 0),
     idx AS (
-        SELECT CAST(SUM(p1_milli * q0) * 10000 // SUM(p0_milli * q0)
+        SELECT CAST(SUM(p1_cents * q0) * 10000 // SUM(p0_cents * q0)
                    AS BIGINT) AS laspeyres_bp,
-               CAST(SUM(p1_milli * q1) * 10000 // SUM(p0_milli * q1)
+               CAST(SUM(p1_cents * q1) * 10000 // SUM(p0_cents * q1)
                    AS BIGINT) AS paasche_bp,
                CAST(COUNT(*) AS BIGINT) AS n_parts
         FROM both_years)
@@ -73,7 +73,7 @@ def q_price_indices_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     years. Laspeyres > Paasche signals substitution away from
     items that got pricier — the index-number spread every CPI
     methodology note discusses. Unit prices are per-part yearly
-    spend/quantity in milli-cents; `yoy_revenue` reports the raw
+    spend/quantity in whole cents (cent quantization keeps the basket sums int64-exact at sf1 — milli-cent units overflowed Σp·q·10⁴ there); `yoy_revenue` reports the raw
     revenue delta this family DECOMPOSES into price vs volume.
 
     Scale: one year-filtered fact pass to (part, year) spend/volume
@@ -115,16 +115,16 @@ def q_price_indices_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "q0",
         "q1",
-        "s0 * 1000 div q0 AS p0_milli",
-        "s1 * 1000 div q1 AS p1_milli",
+        "s0 div q0 AS p0_cents",
+        "s1 div q1 AS p1_cents",
     )
     idx = both.agg(
         F.expr(
-            "CAST(SUM(p1_milli * q0) * 10000 div SUM(p0_milli * q0)"
+            "CAST(SUM(p1_cents * q0) * 10000 div SUM(p0_cents * q0)"
             " AS BIGINT)"
         ).alias("laspeyres_bp"),
         F.expr(
-            "CAST(SUM(p1_milli * q1) * 10000 div SUM(p0_milli * q1)"
+            "CAST(SUM(p1_cents * q1) * 10000 div SUM(p0_cents * q1)"
             " AS BIGINT)"
         ).alias("paasche_bp"),
         F.count(F.lit(1)).cast("long").alias("n_parts"),
