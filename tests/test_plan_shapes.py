@@ -26,6 +26,32 @@ EXPECTATIONS = {
     "triangle_census": ["LeftSemi"],
     # pipe syntax compiles to the same top-k physical plan as ANSI
     "pipe_sql_topk": ["TakeOrderedAndProject"],
+    # session-4 additions
+    # Q8: part filter + all dims broadcast around the fact chain
+    "market_share_promo_asia": ["BroadcastHashJoin"],
+    # wedge queries: broadcast probe side + broadcast anti join + heap
+    "link_prediction_cn": [
+        "BroadcastHashJoin",
+        "LeftAnti",
+        "TakeOrderedAndProject",
+    ],
+    "adamic_adar_topk": [
+        "BroadcastHashJoin",
+        "LeftAnti",
+        "TakeOrderedAndProject",
+    ],
+    # histogram-first weighted median: part dim broadcasts
+    "weighted_median_price": ["BroadcastHashJoin"],
+    # Lindley reflection runs as partitioned windows, not a loop
+    "inventory_clamped_balance": ["Window"],
+    # interval-merge sweep: per-user islands are windows
+    "rolling_distinct_users": ["Window"],
+    # retrieval eval: both top-10s stay heaps
+    "ndcg_bits_eval": ["TakeOrderedAndProject"],
+    # critical fractile reads the cumulative histogram window
+    "newsvendor_stock": ["Window"],
+    # chunked bitmaps join chunk-aligned words via broadcast hash
+    "bitset_chunked_overlap": ["BroadcastHashJoin"],
 }
 
 FORBIDDEN = {
