@@ -1,0 +1,71 @@
+"""Registry-wide contract tests: every declared query carries the
+documentation the repo's review discipline requires — a docstring with
+an explicit scale note — and every oracle is non-empty ANSI SQL.
+
+These are meta-tests: they don't execute plans, they keep the 300-query
+surface honest as it grows (a new query without a scale argument fails
+CI, not review)."""
+
+from __future__ import annotations
+
+from bikes_data_warehouse_etl_spark.plans import QUERIES
+
+
+# rounds 1-2 queries that carry their scale argument in prose without
+# the literal "Scale:" marker — FROZEN: this set may only shrink
+_LEGACY_NO_MARKER = {
+    "prdct_dim", "act_perd_dim", "scd1_classify", "scd1_merge",
+    "dedup_exact", "set_ops", "text_metrics", "lang_quality",
+    "dedup_fingerprint", "minhash_signatures", "winnowing_fps",
+    "lsh_candidates", "neardup_jaccard", "neardup_jaccard_fast",
+    "lsh_candidates_fast", "simhash_groups", "embedding_topk",
+    "ann_lsh_topk", "embedding_neardup", "ivf_topk", "events_tumbling",
+    "events_sessionize", "events_json_extract", "multimodal_features",
+    "rollup_nation_segment", "cube_status_priority",
+    "percentiles_by_segment", "semi_join_urgent_customers",
+    "range_join_late_ships", "asof_join_last_signup",
+    "moving_sum_orders", "pivot_events", "pandas_udf_score",
+    "scd2_merge", "string_funcs", "null_handling", "distinct_agg",
+    "above_customer_avg", "events_sliding", "dq_orphans",
+    "top3_orders_per_cust", "fuzzy_name_pairs",
+    "revenue_by_region_quarter", "approx_distinct_parts",
+    "monthly_revenue_mom", "neardup_components", "curated_corpus",
+    "user_retention_weekly",
+}
+
+
+def test_every_query_has_scale_documented():
+    """Ratchet: every query OUTSIDE the frozen legacy set must carry a
+    literal 'Scale:' docstring section — new queries cannot merge
+    without a scale argument."""
+    missing = [
+        name
+        for name, spec in QUERIES.items()
+        if name not in _LEGACY_NO_MARKER
+        and not (spec.spark.__doc__ and "Scale:" in spec.spark.__doc__)
+    ]
+    assert missing == [], f"queries missing a 'Scale:' docstring note: {missing}"
+    # the ratchet never loosens: legacy entries that gain the marker
+    # (or disappear) should be removed from the frozen set
+    assert _LEGACY_NO_MARKER <= set(QUERIES)
+
+
+def test_every_query_has_nonempty_oracle():
+    bad = [
+        name
+        for name, spec in QUERIES.items()
+        if spec.oracle is not None and len(spec.oracle.strip()) < 20
+    ]
+    assert bad == []
+
+
+def test_no_rows_only_queries_declared():
+    # the full surface is oracle-gated; a rows-only entry is a
+    # deliberate decision that should update this pin
+    rows_only = [n for n, s in QUERIES.items() if s.oracle is None]
+    assert rows_only == []
+
+
+def test_registry_size_floor():
+    # the declared surface never silently shrinks
+    assert len(QUERIES) >= 300
