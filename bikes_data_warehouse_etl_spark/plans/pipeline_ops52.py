@@ -41,14 +41,15 @@ _SQL_WELCH = f"""
                MAX(CASE WHEN arm = 0 THEN syy END) AS syy0
         FROM s),
     d AS (
+        -- variance numerators in EXACT int64 before the double cast:
+        -- a double-side a*b - c*d invites compiler FMA contraction
+        -- whose rounding an engine need not reproduce
         SELECT CAST(n1 AS DOUBLE) AS n1, CAST(n0 AS DOUBLE) AS n0,
                CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
                CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
-               (CAST(n1 AS DOUBLE) * CAST(syy1 AS DOUBLE)
-                - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+               CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE)
                / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
-               (CAST(n0 AS DOUBLE) * CAST(syy0 AS DOUBLE)
-                - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+               CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE)
                / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)) AS v0
         FROM wide),
     e AS (
@@ -117,11 +118,9 @@ def q_welch_power_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n0l AS DOUBLE) AS n0",
         "CAST(sy1 AS DOUBLE) / CAST(n1l AS DOUBLE) AS m1",
         "CAST(sy0 AS DOUBLE) / CAST(n0l AS DOUBLE) AS m0",
-        "(CAST(n1l AS DOUBLE) * CAST(syy1 AS DOUBLE)"
-        " - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))"
+        "CAST(n1l * syy1 - sy1 * sy1 AS DOUBLE)"
         " / (CAST(n1l AS DOUBLE) * (CAST(n1l AS DOUBLE) - 1.0)) AS v1",
-        "(CAST(n0l AS DOUBLE) * CAST(syy0 AS DOUBLE)"
-        " - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE))"
+        "CAST(n0l * syy0 - sy0 * sy0 AS DOUBLE)"
         " / (CAST(n0l AS DOUBLE) * (CAST(n0l AS DOUBLE) - 1.0)) AS v0",
     )
     e = d.selectExpr(

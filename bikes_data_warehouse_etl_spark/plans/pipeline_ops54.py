@@ -58,8 +58,7 @@ _SQL_CLASSIFIER = f"""
            CAST(tp * 10000 // GREATEST(tp + fn, 1) AS BIGINT) AS recall_bp,
            CAST(2 * tp * 10000 // GREATEST(2 * tp + fp + fn, 1) AS BIGINT)
                AS f1_bp,
-           CAST(FLOOR((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
-                       - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+           CAST(FLOOR(CAST(tp * tn - fp * fn AS DOUBLE)
                 / SQRT(CAST(tp + fp AS DOUBLE))
                 / SQRT(CAST(tp + fn AS DOUBLE))
                 / SQRT(CAST(tn + fp AS DOUBLE))
@@ -137,8 +136,7 @@ def q_classifier_eval_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(tp * 10000 div GREATEST(tp + fn, 1) AS BIGINT) AS recall_bp",
         "CAST(2 * tp * 10000 div GREATEST(2 * tp + fp + fn, 1) AS BIGINT)"
         " AS f1_bp",
-        "CAST(FLOOR((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)"
-        " - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
+        "CAST(FLOOR(CAST(tp * tn - fp * fn AS DOUBLE)"
         " / SQRT(CAST(tp + fp AS DOUBLE))"
         " / SQRT(CAST(tp + fn AS DOUBLE))"
         " / SQRT(CAST(tn + fp AS DOUBLE))"
