@@ -85,6 +85,35 @@ def regressions_vs(
     )
 
 
+# --- absolute per-query latency budget (round-5 gate) ----------------------
+# Both regression gates are RELATIVE: a query born slow never trips them.
+# This budget flags any query whose sf0.1 median exceeds LATENCY_BUDGET_S.
+# The exception list is the documented density-bound family — queries whose
+# cost is the honest price of their algorithm (each carries the analysis in
+# its docstring), with a per-query ceiling so even the exceptions can't
+# silently double. The budget only applies at sf ≈ 0.1 (the driver's scale);
+# at other sfs the absolute numbers mean different work.
+LATENCY_BUDGET_S = 5.0
+LATENCY_EXCEPTIONS: dict[str, float] = {
+    # ×32 resample fan-out before the partial agg — cost IS the design
+    # (pipeline_ops32.py: per-row Poisson replicates, map-side combined)
+    "poisson_bootstrap_ci": 8.0,
+}
+
+
+def over_latency_budget(
+    timings: dict[str, float], sf: float | None
+) -> list[str]:
+    """Queries whose median exceeds the absolute budget at sf0.1."""
+    if sf is None or abs(sf - 0.1) > 1e-9:
+        return []
+    return sorted(
+        name
+        for name, t in timings.items()
+        if t > LATENCY_EXCEPTIONS.get(name, LATENCY_BUDGET_S)
+    )
+
+
 def latest_bench_json() -> str | None:
     """The newest USABLE per-query baseline.
 
@@ -134,6 +163,7 @@ def main() -> None:
     )
     regressed_r1 = regressions_vs(timings, r1_baseline, sf=cur_sf)
     regressed_prev = regressions_vs(timings, latest_bench_json(), sf=cur_sf)
+    over_budget = over_latency_budget(timings, cur_sf)
 
     print(
         json.dumps(
@@ -146,11 +176,15 @@ def main() -> None:
                 "runs_per_query": n_runs,
                 "regressions_vs_r1": regressed_r1,
                 "regressions_vs_prev": regressed_prev,
+                "latency_budget_s": LATENCY_BUDGET_S,
+                "latency_exceptions": LATENCY_EXCEPTIONS,
+                "over_latency_budget": over_budget,
             }
         )
     )
     # strict mode (local/CI use): non-zero exit on any per-query regression
-    if (regressed_r1 or regressed_prev) and os.environ.get(
+    # or absolute-budget breach
+    if (regressed_r1 or regressed_prev or over_budget) and os.environ.get(
         "SPARK_GRAFT_BENCH_STRICT"
     ):
         sys.exit(1)

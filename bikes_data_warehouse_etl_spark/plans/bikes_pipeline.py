@@ -70,7 +70,12 @@ class BikesPipeline:
     def read(self, layer: str, table: str) -> DataFrame:
         return self.spark.read.parquet(self._path(layer, table))
 
-    def _replace_dir(self, df: DataFrame, path: str) -> None:
+    def _replace_dir(
+        self,
+        df: DataFrame,
+        path: str,
+        partition_cols: list[str] | None = None,
+    ) -> None:
         """Write to staging, then atomically swap into place.
 
         Required whenever the new state is derived from a scan of the
@@ -78,17 +83,30 @@ class BikesPipeline:
         reading. Local-FS stand-in for a transactional table format.
         """
         staged = path + "__staged"
-        df.write.mode("overwrite").parquet(staged)
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(staged)
         if os.path.isdir(path):
             shutil.rmtree(path)
         os.replace(staged, path)
 
-    def _write(self, df: DataFrame, layer: str, table: str, mode: str) -> None:
+    def _write(
+        self,
+        df: DataFrame,
+        layer: str,
+        table: str,
+        mode: str,
+        partition_cols: list[str] | None = None,
+    ) -> None:
         path = self._path(layer, table)
         if mode == "replace":
-            self._replace_dir(df, path)
+            self._replace_dir(df, path, partition_cols)
         else:
-            df.write.mode(mode).parquet(path)
+            w = df.write.mode(mode)
+            if partition_cols:
+                w = w.partitionBy(*partition_cols)
+            w.parquet(path)
 
     # ---------------- ODS load (entry point 1) ----------------
     def load_ods(self) -> None:
@@ -144,6 +162,15 @@ class BikesPipeline:
         self._write(spine, "ods", "datetab", "overwrite")
 
     # ---------------- DW refresh (entry point 3) ----------------
+    # Facts are hive-partitioned on the activity date (SURVEY §4: the
+    # scale design for a daily-refresh warehouse). A day's incremental
+    # append touches only that day's directory, and any reader
+    # filtering on Act_Perd_Dt prunes partitions BEFORE file listing
+    # (PartitionFilters in the scan — pinned by
+    # test_fact_reads_prune_partitions). At 100 TB you would nest
+    # year/date; at test scale one level keeps directory counts sane.
+    FACT_PARTITION_COLS = ["Act_Perd_Dt"]
+
     def refresh_dw(self) -> None:
         """The seven warehouse statements in reference order."""
         orders = self.read("ods", "salesorder")
@@ -153,6 +180,7 @@ class BikesPipeline:
         self._write(
             bikes_dw.build_prdct_sm_fct(items, orders, self.run_ts),
             "dw", "prdct_sm_fct", "overwrite",
+            partition_cols=self.FACT_PARTITION_COLS,
         )
 
         # 2. Ordr_Sm_Fct — incremental (appends only new order ids)
@@ -160,6 +188,7 @@ class BikesPipeline:
         self._write(
             bikes_dw.build_ordr_sm_fct(orders, existing, self.run_ts),
             "dw", "ordr_sm_fct", "append",
+            partition_cols=self.FACT_PARTITION_COLS,
         )
 
         # 3. Ordr_Dtl_Fct — incremental, composite key
@@ -167,6 +196,7 @@ class BikesPipeline:
         self._write(
             bikes_dw.build_ordr_dtl_fct(items, orders, existing, self.run_ts),
             "dw", "ordr_dtl_fct", "append",
+            partition_cols=self.FACT_PARTITION_COLS,
         )
 
         # 4-7. dimensions — full refresh

@@ -286,6 +286,68 @@ def co_order_edges(
     )
 
 
+# Per-center neighbor cap for the wedge-census family
+# (link_prediction_cn, adamic_adar_topk). The wedge self-join on the
+# center vertex costs Sigma_v deg(v)^2; on the co-order graph (dense:
+# median degree 218 at sf0.1, near-complete at sf0.01) that is 48.5M
+# wedge rows at sf0.1 and grows super-linearly. Capping each center to
+# its CAP hash-rank-first neighbors bounds the join at |V| * CAP^2 / 2
+# rows -- linear in nodes, constant per node -- which is the standard
+# hub mitigation for link prediction (hubs carry the least signal:
+# Adamic-Adar already down-weights them toward zero). The kept subset
+# is chosen by a DETERMINISTIC integer hash so Spark and the DuckDB
+# oracle keep the identical neighbors and the hash gate still proves
+# the capped formulation exactly.
+_WEDGE_DEG_CAP = 64
+_HASH_MULT = 2654435761  # Knuth multiplicative constant
+_HASH_MOD = 1000003
+
+
+def sql_capped_adj_ctes(cap: int = _WEDGE_DEG_CAP) -> str:
+    """Oracle CTE text extending ``e`` (from `sql_coorder_edge_ctes`)
+    with the symmetric adjacency ``adj0(v, u)``, TRUE degrees
+    ``deg(v, d)`` (computed before the cap, so degree-derived weights
+    stay exact), and the degree-capped adjacency ``adj(v, u)`` keeping
+    per center the ``cap`` neighbors ranking first by
+    ``(u * 2654435761) % 1000003`` (ties by u) -- pure integer
+    arithmetic, identical in both engines."""
+    return f"""adj0 AS (
+        SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj0 GROUP BY 1),
+    adj AS (
+        SELECT v, u FROM (
+            SELECT v, u, ROW_NUMBER() OVER (
+                PARTITION BY v
+                ORDER BY (u * {_HASH_MULT}) % {_HASH_MOD}, u) AS hrk
+            FROM adj0)
+        WHERE hrk <= {cap})"""
+
+
+def symmetric_adjacency(e: DataFrame) -> DataFrame:
+    """``e(a, b)`` -> both-direction adjacency ``adj0(v, u)``."""
+    return e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+
+
+def capped_adjacency(adj0: DataFrame, cap: int = _WEDGE_DEG_CAP) -> DataFrame:
+    """Spark twin of the ``adj`` CTE in `sql_capped_adj_ctes`: keep per
+    center v the ``cap`` neighbors ranking first by the deterministic
+    Knuth hash. One window shuffle on v (the same key the wedge join
+    needs next, so the exchange is reused), then the self-join is
+    bounded at cap^2 rows per center regardless of hub degree."""
+    w = Window.partitionBy("v").orderBy(
+        (F.col("u").cast("long") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD),
+        "u",
+    )
+    return (
+        adj0.withColumn("hrk", F.row_number().over(w))
+        .where(F.col("hrk") <= F.lit(cap))
+        .drop("hrk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Graph: co-order supplier triangle census + clustering coefficient
 # ---------------------------------------------------------------------------

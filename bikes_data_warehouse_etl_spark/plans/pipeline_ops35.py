@@ -14,8 +14,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from bikes_data_warehouse_etl_spark.plans.pipeline_ops16 import (
+    capped_adjacency,
     co_order_edges,
+    sql_capped_adj_ctes,
     sql_coorder_edge_ctes,
+    symmetric_adjacency,
 )
 from bikes_data_warehouse_etl_spark.plans.pipeline_ops29 import (
     _sdiv_expr,
@@ -150,8 +153,7 @@ _LP_TOP = 25
 
 _SQL_LINK_PRED = f"""
     WITH {sql_coorder_edge_ctes()},
-    adj AS (
-        SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+    {sql_capped_adj_ctes()},
     wedge AS (
         SELECT x.u AS p, y.u AS q2, CAST(COUNT(*) AS BIGINT) AS cn
         FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u
@@ -178,34 +180,42 @@ def q_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     its centers once; the anti-join against the ID-oriented edge set
     removes existing links exactly.
 
-    Scale: the wedge self-join on the center vertex is Σ_v deg(v)² —
-    the quantity `triangle_census`'s degree orientation bounds; for
-    prediction over hub-heavy graphs the standard mitigation is the
-    same (cap or down-weight centers above a degree ceiling, which
-    Adamic-Adar does smoothly). The candidate census shuffles on the
-    (p, q) pair key; top-25 is a heap.
+    Scale: the raw wedge self-join on the center vertex costs
+    Σ_v deg(v)² — super-linear on this dense graph (48.5M wedges at
+    sf0.1, hub degree 298). Both engines therefore census over the
+    DEGREE-CAPPED adjacency (`capped_adjacency`: 64 hash-rank-first
+    neighbors per center, deterministic so the oracle keeps the same
+    subset), bounding the join at |V|·64²/2 rows — linear in nodes.
+    Hub centers contribute a fixed sample of their wedges, the
+    standard mitigation for link prediction (hub co-occurrence is the
+    weakest signal; `adamic_adar_topk` additionally down-weights it).
+    No broadcast hints: adjacency and edge set grow with the fact
+    table, so AQE picks the join side from runtime sizes. The
+    candidate census shuffles on the (p, q) pair key; top-25 is a
+    heap.
     """
     # eager checkpoint: e feeds four consumers (two adj legs, the
     # anti-join) — lazy materialization re-entered the basket build
     # once per branch on the first action (measured 11.9 s cold)
     e = co_order_edges(spark, sf_dir).localCheckpoint(eager=True)
-    adj = e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
-        e.select(F.col("b").alias("v"), F.col("a").alias("u"))
-    )
+    # degree cap: keep 64 hash-rank-first neighbors per center before
+    # the wedge self-join, bounding it at |V| * 64^2 / 2 rows (48.5M
+    # uncapped wedges -> 2.0M at sf0.1). NO broadcast hints anywhere on
+    # this path -- adjacency and edge set are data-scale (they grow with
+    # the fact table); AQE picks the join strategy from runtime sizes,
+    # so small sfs still get runtime broadcasts while a 100 TB run
+    # shuffles instead of OOMing an executor on an edge-scale build side.
+    adj = capped_adjacency(symmetric_adjacency(e))
     x = adj.select(F.col("v").alias("c"), F.col("u").alias("p"))
     y = adj.select(F.col("v").alias("c"), F.col("u").alias("q2"))
-    # adjacency is 2|E| rows of longs — broadcasting the probe side
-    # turns the wedge join shuffle-free (6.0 s → 4.2 s warm at sf0.1);
-    # at cluster scale this holds while 2|E| fits an executor
-    # (~100M edges); beyond that drop the hint and let AQE shuffle
     wedge = (
-        x.join(F.broadcast(y), "c")
+        x.join(y, "c")
         .where(F.col("p") < F.col("q2"))
         .groupBy("p", "q2")
         .agg(F.count(F.lit(1)).cast("long").alias("cn"))
     )
     nonedge = wedge.join(
-        F.broadcast(e),
+        e,
         (F.col("p") == F.col("a")) & (F.col("q2") == F.col("b")),
         "left_anti",
     )

@@ -15,8 +15,11 @@ import pyspark.sql.functions as F
 
 from bikes_data_warehouse_etl_spark.functions.text import tokens
 from bikes_data_warehouse_etl_spark.plans.pipeline_ops16 import (
+    capped_adjacency,
     co_order_edges,
+    sql_capped_adj_ctes,
     sql_coorder_edge_ctes,
+    symmetric_adjacency,
 )
 from bikes_data_warehouse_etl_spark.plans.pipeline_ops29 import (
     _sdiv_expr,
@@ -32,10 +35,7 @@ _AA_TOP = 25
 
 _SQL_ADAMIC_ADAR = f"""
     WITH {sql_coorder_edge_ctes()},
-    adj AS (
-        SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
-    deg AS (
-        SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    {sql_capped_adj_ctes()},
     wadj AS (
         SELECT adj.v, adj.u,
                CAST(1000 // LENGTH(BIN(deg.d + 1)) AS BIGINT) AS wc
@@ -66,20 +66,25 @@ def q_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (strong signal) from "both trade with the hub everyone trades
     with" (noise), which raw `link_prediction_cn` counts equally.
 
-    Scale: identical wedge shape to `link_prediction_cn` (Σ_v deg(v)²
-    center join, the hub-degree cap mitigation documented there) —
-    the damping weight rides the adjacency rows as one broadcast-less
-    column, so Adamic–Adar costs the same as common-neighbors plus
-    one dimension-scale degree join. Top-25 is a per-partition heap.
+    Scale: identical wedge shape to `link_prediction_cn`, including
+    its implemented mitigation — the wedge census runs over the
+    64-neighbor DEGREE-CAPPED adjacency (deterministic hash rank,
+    oracle capped identically), bounding the self-join at |V|·64²/2
+    rows, and carries NO broadcast hints (adjacency and edge set are
+    data-scale; AQE decides from runtime sizes). The damping weight
+    uses the TRUE pre-cap degree and rides the capped adjacency rows
+    as one column, so Adamic–Adar costs common-neighbors plus a
+    node-scale degree join. Top-25 is a per-partition heap.
     """
-    # eager checkpoint + broadcast probe/anti sides: the
-    # `link_prediction_cn` plan notes apply verbatim (measured
-    # 6.5 s → 4.3 s warm at sf0.1)
+    # eager checkpoint (e feeds adjacency legs + the anti join); the
+    # degree cap + no-broadcast-hint notes on `link_prediction_cn`
+    # apply verbatim. The damping weight uses the TRUE degree (from
+    # the uncapped adjacency) so hub down-weighting stays exact; only
+    # the wedge ENUMERATION is capped.
     e = co_order_edges(spark, sf_dir).localCheckpoint(eager=True)
-    adj = e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
-        e.select(F.col("b").alias("v"), F.col("a").alias("u"))
-    )
-    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    adj0 = symmetric_adjacency(e)
+    deg = adj0.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    adj = capped_adjacency(adj0)
     wadj = adj.join(deg, "v").select(
         "v",
         "u",
@@ -88,7 +93,7 @@ def q_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = wadj.select(F.col("v").alias("c"), F.col("u").alias("p"), F.col("wc"))
     y = wadj.select(F.col("v").alias("c"), F.col("u").alias("q2"))
     wedge = (
-        x.join(F.broadcast(y), "c")
+        x.join(y, "c")
         .where(F.col("p") < F.col("q2"))
         .groupBy("p", "q2")
         .agg(
@@ -97,7 +102,7 @@ def q_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nonedge = wedge.join(
-        F.broadcast(e),
+        e,
         (F.col("p") == F.col("a")) & (F.col("q2") == F.col("b")),
         "left_anti",
     )

@@ -14,7 +14,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bench import latest_bench_json, regressions_vs  # noqa: E402
+from bench import (  # noqa: E402
+    LATENCY_BUDGET_S,
+    LATENCY_EXCEPTIONS,
+    latest_bench_json,
+    over_latency_budget,
+    regressions_vs,
+)
 
 BASELINE = os.path.join(REPO, "BENCH_r01.json")
 
@@ -64,3 +70,41 @@ def test_latest_bench_json_is_newest_usable_round():
 
 def test_none_baseline_is_noop():
     assert regressions_vs({"q": 9.9}, None) == []
+
+
+# --- absolute latency budget (round-5 gate) ---------------------------------
+def test_budget_flags_born_slow_query_at_sf01():
+    assert over_latency_budget({"new_slow": LATENCY_BUDGET_S + 1}, 0.1) == [
+        "new_slow"
+    ]
+
+
+def test_budget_only_applies_at_sf01():
+    t = {"new_slow": LATENCY_BUDGET_S + 1}
+    assert over_latency_budget(t, 1.0) == []
+    assert over_latency_budget(t, 0.01) == []
+    assert over_latency_budget(t, None) == []
+
+
+def test_budget_exception_has_its_own_ceiling():
+    (name, ceiling) = next(iter(LATENCY_EXCEPTIONS.items()))
+    assert over_latency_budget({name: ceiling - 0.1}, 0.1) == []
+    assert over_latency_budget({name: ceiling + 0.1}, 0.1) == [name]
+
+
+def test_last_committed_bench_is_within_budget():
+    """The checked-in BENCH_local medians must respect the budget —
+    i.e. the exception list is complete, not aspirational. The wedge
+    pair (capped this round) is allowed to exceed in baselines
+    recorded BEFORE the cap landed."""
+    p = os.path.join(REPO, "BENCH_local.json")
+    with open(p) as f:
+        doc = json.load(f)
+    timings = (doc.get("parsed") or doc)["queries"]
+    pre_cap = {"adamic_adar_topk", "link_prediction_cn"}
+    flagged = [
+        q
+        for q in over_latency_budget(timings, float(doc.get("sf", 0.1)))
+        if q not in pre_cap
+    ]
+    assert flagged == []

@@ -98,6 +98,33 @@ def test_dw_fact_counts_and_orphan_drop(wh, spark):
     assert wh.read("dw", "prdct_dim").count() == 42
 
 
+def test_fact_reads_prune_partitions(wh):
+    """Facts are hive-partitioned on Act_Perd_Dt (SURVEY §4): the
+    warehouse directory must hold per-date partition dirs, and a
+    date-filtered read must carry the predicate as a PartitionFilter
+    (pruned before file listing) — the property that makes a one-day
+    query on a 100 TB fact table read one day's files."""
+    import os
+
+    fact_dir = wh._path("dw", "ordr_sm_fct")
+    part_dirs = [d for d in os.listdir(fact_dir) if d.startswith("Act_Perd_Dt=")]
+    assert len(part_dirs) > 1
+
+    df = wh.read("dw", "ordr_sm_fct")
+    one_day = dt.date(2021, 5, 2)
+    q = df.filter(F.col("Act_Perd_Dt") == one_day)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "Act_Perd_Dt" in pf
+    # the partition column never reaches the data-filter path
+    if "PushedFilters:" in plan:
+        pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+        assert "Act_Perd_Dt" not in pushed
+    # and the partitioned round-trip preserves the rows
+    assert q.count() == df.where(F.col("Act_Perd_Dt") == one_day).count()
+
+
 def test_ordr_sm_fct_conditional_splits(wh):
     f = wh.read("dw", "ordr_sm_fct")
     tot = f.agg(

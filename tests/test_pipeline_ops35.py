@@ -68,7 +68,16 @@ def test_conformal_stationary_series_covers(spark):
 # Link prediction
 # ---------------------------------------------------------------------------
 def test_link_predictions_are_nonedges_with_verified_counts(spark):
-    from bikes_data_warehouse_etl_spark.plans.pipeline_ops16 import co_order_edges
+    """Python re-derivation of the DEGREE-CAPPED wedge census: each
+    center contributes wedges only among its 64 hash-rank-first kept
+    neighbors (`capped_adjacency`), so cn(p, q) counts centers whose
+    kept set holds BOTH endpoints."""
+    from bikes_data_warehouse_etl_spark.plans.pipeline_ops16 import (
+        _HASH_MOD,
+        _HASH_MULT,
+        _WEDGE_DEG_CAP,
+        co_order_edges,
+    )
 
     sf = "/root/testdata/sf0.1"
     out = _run(spark, sf, "link_prediction_cn")
@@ -80,14 +89,26 @@ def test_link_predictions_are_nonedges_with_verified_counts(spark):
     for a, b in edges:
         nbrs[a].add(b)
         nbrs[b].add(a)
+    kept = {
+        v: set(
+            sorted(us, key=lambda u: ((u * _HASH_MULT) % _HASH_MOD, u))[
+                :_WEDGE_DEG_CAP
+            ]
+        )
+        for v, us in nbrs.items()
+    }
+    cn = collections.Counter()
+    for v, us in kept.items():
+        for p in us:
+            for q in us:
+                if p < q:
+                    cn[(p, q)] += 1
     assert len(out) > 0
     for _, r in out.iterrows():
         pair = (r["id_a"], r["id_b"])
         assert pair not in edges  # predicted links are non-edges
         assert r["id_a"] < r["id_b"]
-        assert r["common_neighbors"] == len(
-            nbrs[r["id_a"]] & nbrs[r["id_b"]]
-        )
+        assert r["common_neighbors"] == cn[pair]
 
 
 # ---------------------------------------------------------------------------

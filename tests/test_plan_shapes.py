@@ -29,14 +29,16 @@ EXPECTATIONS = {
     # session-4 additions
     # Q8: part filter + all dims broadcast around the fact chain
     "market_share_promo_asia": ["BroadcastHashJoin"],
-    # wedge queries: broadcast probe side + broadcast anti join + heap
+    # wedge queries: degree-capped window + anti join + heap (the
+    # no-edge-scale-broadcast pin is test_wedge_queries_carry_no_
+    # broadcast_hints below)
     "link_prediction_cn": [
-        "BroadcastHashJoin",
+        "Window",
         "LeftAnti",
         "TakeOrderedAndProject",
     ],
     "adamic_adar_topk": [
-        "BroadcastHashJoin",
+        "Window",
         "LeftAnti",
         "TakeOrderedAndProject",
     ],
@@ -78,6 +80,61 @@ def test_plan_contains_expected_operators(spark, sf_dir, name):
         assert needle in plan, f"{name}: expected {needle} in physical plan"
     for needle in FORBIDDEN[name]:
         assert needle not in plan, f"{name}: {needle} must not appear"
+
+
+@pytest.mark.parametrize("name", ["link_prediction_cn", "adamic_adar_topk"])
+def test_wedge_queries_carry_no_broadcast_hints(spark, sf_dir, name):
+    """The wedge-census pair must never STATICALLY broadcast an
+    edge-scale side (adjacency / edge set grow with the fact table;
+    a hinted broadcast OOMs executors at 100 TB). Zero ResolvedHint
+    in the optimized logical plan, and with the auto-broadcast
+    threshold disabled the physical plan holds zero BroadcastExchange
+    — proving every broadcast these queries ever get is AQE's
+    runtime-size decision, not a compiled-in hint."""
+    from bikes_data_warehouse_etl_spark.plans import QUERIES
+
+    logical = str(
+        QUERIES[name].spark(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+    )
+    assert "ResolvedHint" not in logical
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastExchange" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_wedge_degree_cap_bounds_the_self_join(spark):
+    """On a hub graph (one center adjacent to everyone) the capped
+    adjacency keeps exactly CAP neighbors for the hub — the wedge
+    self-join is |V|·CAP²/2-bounded no matter how skewed the graph —
+    and the kept subset is the deterministic hash-rank prefix."""
+    import pyspark.sql.functions as F
+
+    from bikes_data_warehouse_etl_spark.plans.pipeline_ops16 import (
+        _HASH_MOD,
+        _HASH_MULT,
+        capped_adjacency,
+        symmetric_adjacency,
+    )
+
+    n = 200
+    e = spark.createDataFrame(
+        [(0, i) for i in range(1, n + 1)], "a long, b long"
+    )
+    adj = capped_adjacency(symmetric_adjacency(e), cap=16)
+    hub = adj.where(F.col("v") == 0)
+    kept = sorted(r["u"] for r in hub.collect())
+    assert len(kept) == 16
+    expected = sorted(
+        range(1, n + 1), key=lambda u: ((u * _HASH_MULT) % _HASH_MOD, u)
+    )[:16]
+    assert kept == sorted(expected)
+    # spokes have degree 1 -> cap is inert for them
+    assert adj.where(F.col("v") != 0).count() == n
 
 
 def test_sample_stratified_is_scan_local(spark, sf_dir):
