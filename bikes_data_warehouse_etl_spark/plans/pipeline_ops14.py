@@ -201,7 +201,7 @@ def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.col("c_mktsegment").alias("seg")
     )
     d = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("seg", "day")
         .agg(F.sum("cents").cast("long").alias("day_cents"))
     )

@@ -362,11 +362,9 @@ def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
         )
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "customer").select(
+            _t(spark, sf_dir, "customer").select(
                     "c_custkey", F.col("c_mktsegment").alias("seg")
-                )
-            ),
+                ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("seg", "day")

@@ -80,8 +80,8 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.expr("retail4 div 5").cast("long")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -142,8 +142,8 @@ def q_supplier_part_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand", "p_size")
     )
     return (
-        pairs.join(F.broadcast(denylist), "sk", "left_anti")
-        .join(F.broadcast(part), F.col("pk") == F.col("p_partkey"))
+        pairs.join(denylist, "sk", "left_anti")
+        .join(part, F.col("pk") == F.col("p_partkey"))
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("p_size").cast("long").alias("size"),
@@ -220,7 +220,7 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        dom.join(F.broadcast(supp), F.col("sk") == F.col("s_suppkey"))
+        dom.join(supp, F.col("sk") == F.col("s_suppkey"))
         .groupBy(F.col("s_name").alias("supplier"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_dominant_parts"),
@@ -416,10 +416,10 @@ def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
     att = e.join(
-        F.broadcast(deg.select(F.col("v").alias("a"), F.col("d").alias("da"))),
+        deg.select(F.col("v").alias("a"), F.col("d").alias("da")),
         "a",
     ).join(
-        F.broadcast(deg.select(F.col("v").alias("b"), F.col("d").alias("db"))),
+        deg.select(F.col("v").alias("b"), F.col("d").alias("db")),
         "b",
     )
     fwd = (F.col("da") < F.col("db")) | (

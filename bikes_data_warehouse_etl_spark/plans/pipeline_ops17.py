@@ -76,13 +76,11 @@ def q_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("long").alias("revenue_cents"))
     )
     pts = rev.join(
-        F.broadcast(
-            _t(spark, sf_dir, "supplier").select(
+        _t(spark, sf_dir, "supplier").select(
                 "s_suppkey",
                 F.col("s_name").alias("supplier"),
                 F.round(F.col("s_acctbal") * 100, 0).cast("long").alias("bal_cents"),
-            )
-        ),
+            ),
         F.col("sk") == F.col("s_suppkey"),
     ).select("supplier", "revenue_cents", "bal_cents")
     w_gt = (

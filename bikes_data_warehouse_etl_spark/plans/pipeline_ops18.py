@@ -245,7 +245,7 @@ def q_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_regionkey", F.col("r_name").alias("region")
     )
     rollup = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("region", "nation")

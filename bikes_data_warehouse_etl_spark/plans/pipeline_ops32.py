@@ -98,7 +98,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
     dsum = (
-        deg.join(F.broadcast(nat), "v")
+        deg.join(nat, "v")
         .groupBy("nation")
         .agg(
             F.sum("d").cast("long").alias("d_c"),
@@ -108,8 +108,8 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = nat.select(F.col("v").alias("a"), F.col("nation").alias("nat_a"))
     nb = nat.select(F.col("v").alias("b"), F.col("nation").alias("nat_b"))
     intra = (
-        e.join(F.broadcast(na), "a")
-        .join(F.broadcast(nb), "b")
+        e.join(na, "a")
+        .join(nb, "b")
         .where(F.col("nat_a") == F.col("nat_b"))
         .groupBy(F.col("nat_a").alias("nation"))
         .agg(F.count(F.lit(1)).cast("long").alias("e_c"))

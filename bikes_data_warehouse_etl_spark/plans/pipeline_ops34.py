@@ -220,7 +220,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
-    joined = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    joined = e.join(da, "a").join(db, "b")
     pts = joined.select(
         F.col("d_a").alias("x"), F.col("d_b").alias("y")
     ).unionAll(joined.select(F.col("d_b").alias("x"), F.col("d_a").alias("y")))

@@ -197,9 +197,7 @@ def q_independence_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = (
         _t(spark, sf_dir, "orders")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-            ),
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(

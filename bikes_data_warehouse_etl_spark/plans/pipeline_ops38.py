@@ -164,7 +164,7 @@ def q_odds_ratio_promo_return(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_returnflag")
         .join(
-            F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type")),
+            _t(spark, sf_dir, "part").select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select(

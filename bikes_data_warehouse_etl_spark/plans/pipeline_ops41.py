@@ -104,11 +104,11 @@ def q_market_share_promo_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "s_nation")
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(cust_region, o.o_custkey == cust_region.c_custkey)
         .join(
-            F.broadcast(supp_nation),
+            supp_nation,
             li.l_suppkey == supp_nation.s_suppkey,
         )
     )
@@ -171,7 +171,7 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     pc = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .select(
             "p_brand",
             F.round(

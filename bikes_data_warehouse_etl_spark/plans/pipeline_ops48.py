@@ -216,11 +216,9 @@ def q_bandit_replay_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         _t(spark, sf_dir, "orders")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "customer").select(
+            _t(spark, sf_dir, "customer").select(
                     "c_custkey", F.col("c_mktsegment").alias("arm")
-                )
-            ),
+                ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(
@@ -371,11 +369,9 @@ def q_did_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (
         _t(spark, sf_dir, "orders")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "customer").select(
+            _t(spark, sf_dir, "customer").select(
                     "c_custkey", "c_nationkey"
-                )
-            ),
+                ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(

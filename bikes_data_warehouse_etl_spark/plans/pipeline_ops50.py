@@ -79,11 +79,9 @@ def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         _t(spark, sf_dir, "orders")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "customer").select(
+            _t(spark, sf_dir, "customer").select(
                     "c_custkey", "c_nationkey"
-                )
-            ),
+                ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(

@@ -77,11 +77,9 @@ def q_bradley_terry_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         _t(spark, sf_dir, "orders")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "customer").select(
+            _t(spark, sf_dir, "customer").select(
                     "c_custkey", F.col("c_mktsegment").alias("seg")
-                )
-            ),
+                ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(
@@ -194,9 +192,7 @@ def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = (
         _t(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-            ),
+            _t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select(
@@ -372,11 +368,9 @@ def q_bh_fdr_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "customer").select(
+            _t(spark, sf_dir, "customer").select(
                     "c_custkey", "c_nationkey"
-                )
-            ),
+                ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(

@@ -209,11 +209,9 @@ def q_post_stratified_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (
         _t(spark, sf_dir, "orders")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "customer").select(
+            _t(spark, sf_dir, "customer").select(
                     "c_custkey", F.col("c_mktsegment").alias("stratum")
-                )
-            ),
+                ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("o_custkey", "stratum")

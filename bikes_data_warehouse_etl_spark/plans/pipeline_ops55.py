@@ -66,11 +66,9 @@ def q_jackknife_nation_influence(
     per_nation = (
         _t(spark, sf_dir, "orders")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "customer").select(
+            _t(spark, sf_dir, "customer").select(
                     "c_custkey", "c_nationkey"
-                )
-            ),
+                ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(

@@ -92,11 +92,9 @@ def q_eb_shrunk_nation_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_nation = (
         _t(spark, sf_dir, "orders")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "customer").select(
+            _t(spark, sf_dir, "customer").select(
                     "c_custkey", "c_nationkey"
-                )
-            ),
+                ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -219,9 +217,7 @@ def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         _t(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-            ),
+            _t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select(
@@ -297,9 +293,7 @@ def q_hhi_supplier_concentration(
     vol = (
         _t(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-            ),
+            _t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy(F.col("p_brand").alias("brand"), "l_suppkey")

@@ -225,9 +225,7 @@ def q_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey", F.col("l_quantity").cast("long").alias("q"))
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-            ),
+            _t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
@@ -235,11 +233,9 @@ def q_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "customer").select(
+            _t(spark, sf_dir, "customer").select(
                     "c_custkey", "c_nationkey"
-                )
-            ),
+                ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(

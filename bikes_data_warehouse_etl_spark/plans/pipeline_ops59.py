@@ -189,9 +189,7 @@ def q_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = (
         _t(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-            ),
+            _t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy(

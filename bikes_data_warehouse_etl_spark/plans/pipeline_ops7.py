@@ -216,7 +216,7 @@ def q_pit_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = v1.unionByName(v2)
     return o.join(
-        F.broadcast(dim),
+        dim,
         (o["o_custkey"] == dim["c_custkey"])
         & (o["o_orderdate"] >= dim["eff_from"])
         & (o["o_orderdate"] < dim["eff_to"]),

@@ -219,7 +219,7 @@ def q_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pm = bm.select("blk", F.max("bmax").over(wprior).alias("prior_max"))
     lat = (
-        e2.join(F.broadcast(pm), "blk")
+        e2.join(pm, "blk")
         .where(F.col("prior_max").isNotNull())
         .select(
             F.greatest(F.lit(0), F.col("prior_max") - F.col("es")).alias(
