@@ -21,7 +21,13 @@ way real sf1 data would, instead of degenerately:
 * ``embeddings.embedding`` vectors are kept as-is (distances repeat
   across replicas; top-k work still scales with row count).
 
-Usage: python tools/make_sf1.py [out_dir]
+Usage: python tools/make_sf1.py [out_dir] [--replicas N]
+
+``--replicas 100`` produces an sf10-scale set (~60M lineitem) with the
+same disjoint-key/rotation discipline (rotation cycles mod 26 — at
+N > 26 replicas share rotations but never keys, so exact dedup still
+collapses nothing across replicas while shingle work repeats; fine for
+throughput smokes, not for near-dup pair-count claims).
 """
 
 from __future__ import annotations
@@ -53,6 +59,7 @@ OFF = {
 
 
 def _rot(i: int) -> tuple[str, str]:
+    i = i % 26  # rotations cycle; beyond 26 replicas they repeat
     lower = string.ascii_lowercase
     upper = string.ascii_uppercase
     return (
@@ -72,7 +79,13 @@ def replicate(df, i: int, offsets: dict[str, int], text_cols=()):
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    global N_REPLICAS
+    args = sys.argv[1:]
+    if "--replicas" in args:
+        i = args.index("--replicas")
+        N_REPLICAS = int(args[i + 1])
+        del args[i : i + 2]
+    out_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF1_DIR", "/tmp/sf1"
     )
     os.makedirs(out_dir, exist_ok=True)
