@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from bikes_data_warehouse_etl_spark.operators.merge import scd1_merge, scd2_merge
@@ -83,6 +84,13 @@ class BikesPipeline:
         reading. Local-FS stand-in for a transactional table format.
         """
         staged = path + "__staged"
+        if partition_cols:
+            # cluster rows by the hive partition key first: without
+            # this every write task opens a file per partition value
+            # (tasks x dates small files — a listing-time DoS at 100
+            # TB); with it each task holds whole dates and AQE
+            # coalesces the shuffle down to partition-value count
+            df = df.repartition(*[F.col(c) for c in partition_cols])
         w = df.write.mode("overwrite")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
@@ -103,6 +111,9 @@ class BikesPipeline:
         if mode == "replace":
             self._replace_dir(df, path, partition_cols)
         else:
+            if partition_cols:
+                # same task-per-partition clustering as _replace_dir
+                df = df.repartition(*[F.col(c) for c in partition_cols])
             w = df.write.mode(mode)
             if partition_cols:
                 w = w.partitionBy(*partition_cols)
