@@ -432,7 +432,12 @@ def q_lsh_candidates_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     `lsh_dropped_buckets == 0` with these exact LSH parameters at the
     oracle-checked sfs; empirically recall is exactly 1 at
     sf0.001/0.01/0.1 (28/25/256 pairs, verified vs the exhaustive
-    exact-Jaccard set). At 100 TB, widen to 16 hashes × 8 bands
+    exact-Jaccard set). At sf1 the predicted residual materializes,
+    measured: 2559/2560 pairs (recall 0.9996, precision 1, zero
+    dropped buckets) — the one miss is a J=0.9166 pair with a
+    12-shingle doc, i.e. a genuine all-bands miss (~7e-4 for that J),
+    verified by diffing the exhaustive set; CORRECTNESS_local_sf1.json
+    records this query as the single designed-in non-match. At 100 TB, widen to 16 hashes × 8 bands
     (miss ≈ 2.8e-4) or 1-row bands (miss ≈ (1-J)⁸) if the residual
     miss rate matters — and keep `lsh_dropped_buckets` in the job as
     the coverage alert; the verify stage re-scores candidates exactly

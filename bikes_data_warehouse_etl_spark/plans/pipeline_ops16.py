@@ -242,11 +242,15 @@ def sql_coorder_edge_ctes(min_coorders: int = _MIN_COORDERS) -> str:
     oracle deliberately spells the naive fact self-join; the Spark
     twin (`co_order_edges`) uses the basket pattern, and every hash
     match across the graph-query family proves them equal."""
-    return f"""pair_rows AS (
+    # MATERIALIZED: consumers reference e several times (kcore peels,
+    # triangle closure); DuckDB 1.0 inlines plain CTEs per reference,
+    # which re-runs the fact self-join each time — at sf1 the kcore
+    # oracle went from minutes to an unbounded grind without this.
+    return f"""pair_rows AS MATERIALIZED (
         SELECT a.l_suppkey AS a, b.l_suppkey AS b, a.l_orderkey AS ok
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
-    e AS (
+    e AS MATERIALIZED (
         SELECT a, b FROM (
             SELECT a, b, COUNT(DISTINCT ok) AS n_ord
             FROM pair_rows GROUP BY a, b)

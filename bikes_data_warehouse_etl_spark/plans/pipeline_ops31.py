@@ -191,20 +191,20 @@ _KC_K = 8
 
 _SQL_KCORE = f"""
     WITH {sql_coorder_edge_ctes()},
-    deg0 AS (
+    deg0 AS MATERIALIZED (
         SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
             SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
         GROUP BY 1),
-    keep0 AS (SELECT v FROM deg0 WHERE d >= {_KC_K}),
-    e1 AS (
+    keep0 AS MATERIALIZED (SELECT v FROM deg0 WHERE d >= {_KC_K}),
+    e1 AS MATERIALIZED (
         SELECT a, b FROM e
         WHERE a IN (SELECT v FROM keep0) AND b IN (SELECT v FROM keep0)),
-    deg1 AS (
+    deg1 AS MATERIALIZED (
         SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
             SELECT a AS v FROM e1 UNION ALL SELECT b AS v FROM e1)
         GROUP BY 1),
-    keep1 AS (SELECT v FROM deg1 WHERE d >= {_KC_K}),
-    e2 AS (
+    keep1 AS MATERIALIZED (SELECT v FROM deg1 WHERE d >= {_KC_K}),
+    e2 AS MATERIALIZED (
         SELECT a, b FROM e1
         WHERE a IN (SELECT v FROM keep1) AND b IN (SELECT v FROM keep1)),
     r0 AS (SELECT CAST(0 AS BIGINT) AS round,

@@ -384,7 +384,10 @@ def q_act_perd_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SCD1: change classification + merge (the ETL's core operator)
 # ---------------------------------------------------------------------------
 # src batch: even custkeys, with acctbal bumped for custkey%10==0 (updates),
-# plus brand-new keys custkey+1000000 for custkey%25==0 (inserts).
+# plus brand-new keys custkey+100000000 for custkey%25==0 (inserts;
+# the offset sits far above every replicated key range — make_sf1
+# replicas step custkey by 1e6, so a 1e6 insert offset would collide
+# with real keys at sf>=1 and turn 'inserts' into updates).
 _SCD1_SRC_SQL = """
     SELECT c_custkey, c_name, ROUND(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
     FROM customer WHERE c_custkey % 10 = 0
@@ -392,7 +395,7 @@ _SCD1_SRC_SQL = """
     SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
     FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0
     UNION ALL
-    SELECT c_custkey + 1000000, c_name, ROUND(c_acctbal, 2), 'NEWSEG'
+    SELECT c_custkey + 100000000, c_name, ROUND(c_acctbal, 2), 'NEWSEG'
     FROM customer WHERE c_custkey % 25 = 0
 """
 
@@ -412,7 +415,7 @@ def _scd1_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     )
     unchanged = c.filter((k % 2 == 0) & (k % 10 != 0))
     inserts = c.filter(k % 25 == 0).select(
-        (k + 1000000).alias("c_custkey"),
+        (k + 100000000).alias("c_custkey"),
         "c_name",
         "c_acctbal",
         F.lit("NEWSEG").alias("c_mktsegment"),

@@ -44,8 +44,35 @@ def canonical_hash(df: pd.DataFrame) -> tuple[int, tuple, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    resume_log = None
+    force_rerun: set[str] = set()
+    if "--resume" in args:
+        # --resume LOG [name ...]: reuse PASS results recorded in a
+        # previous run's stdout log (long sf1 runs die to one slow
+        # oracle; re-verifying 200 green queries wastes an hour).
+        # Names after the log path are re-run even if they PASSed
+        # (their code changed since the log was written); FAIL/OK?
+        # lines are always re-run.
+        i = args.index("--resume")
+        resume_log = args[i + 1]
+        force_rerun = set(args[i + 2 :])
+        args = args[:i]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    reused: dict[str, dict] = {}
+    if resume_log:
+        import re as _re
+
+        for line in open(resume_log):
+            m = _re.match(r"PASS (\w+): (\d+) rows, hash ([0-9a-f]+)", line)
+            if m and m.group(1) not in force_rerun:
+                reused[m.group(1)] = {
+                    "status": "oracle_match",
+                    "rows": int(m.group(2)),
+                    "hash": m.group(3),
+                }
 
     import __spark_entry__ as e
     from bikes_data_warehouse_etl_spark.session import get_spark
@@ -54,8 +81,14 @@ def main() -> int:
     spark = get_spark("verify-oracle")
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata is single-file parquet; Spark-written sets
+        # (tools/make_sf1.py) are directories of part files — DuckDB
+        # needs the glob form for those
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
@@ -64,6 +97,12 @@ def main() -> int:
     n_oracle = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in reused:
+            n_oracle += 1
+            results[name] = reused[name]
+            print(f"PASS {name}: {reused[name]['rows']} rows, "
+                  f"hash {reused[name]['hash']} (resumed)")
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
