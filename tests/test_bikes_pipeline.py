@@ -208,3 +208,33 @@ def test_scd2_price_change_second_batch(spark, tmp_path_factory):
     dim = p2.read("dw", "prdct_dim")
     assert dim.count() == 42
     assert dim.filter(F.col("Prdct_ID") == "RO-1001").first()["Prdct_Cst"] == cur["PRICE"]
+
+
+def test_partitioned_facts_are_clustered_one_file_per_date(wh):
+    """The partitioned-write path must repartition on the partition
+    key first: without it every write task opens a file per date
+    (tasks x dates small files — a listing-time DoS at 100 TB). With
+    clustering, each Act_Perd_Dt directory holds exactly the files of
+    the task(s) that own that date — at test scale, one part file per
+    date (plus the odd AQE-coalesced second), never ~n_tasks files."""
+    import os
+
+    fact_dir = wh._path("dw", "ordr_dtl_fct")
+    part_dirs = [
+        d for d in os.listdir(fact_dir) if d.startswith("Act_Perd_Dt=")
+    ]
+    assert part_dirs, "fact must be hive-partitioned on Act_Perd_Dt"
+    worst = 0
+    for d in part_dirs:
+        n = len(
+            [
+                f
+                for f in os.listdir(os.path.join(fact_dir, d))
+                if f.endswith(".parquet")
+            ]
+        )
+        worst = max(worst, n)
+    assert worst <= 2, (
+        f"partition dirs hold up to {worst} part files — the "
+        "repartition-before-partitionBy clustering regressed"
+    )
