@@ -122,9 +122,16 @@ def q_rank_corr_len_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doc's array); the two global rank windows over |docs| rows are
     the shape to replace at 100 TB with histogram ranks
     (`length_outlier_gate` documents the same upgrade); the d^2 sum is
-    one map-side-combined aggregate. n^3 at 5e4 docs is ~1e14 —
-    int64-safe to ~2e6 docs per evaluation slice; shard by lang/source
-    beyond that (correlations are per-slice diagnostics anyway).
+    one map-side-combined aggregate. Overflow policy (the sf10 run
+    caught `60000 * sum_d_sq` blowing int64 at 5e5 docs — max sum_d_sq
+    is n(n^2-1)/3 so the product crosses 2^63 near n=7e4): the rho
+    numerator/denominator are computed in decimal(38,0) (exact to
+    1e38, i.e. n ~ 2e12 docs per slice) and only the bounded quotient
+    (|rho_bp| <= 10000) is cast back to long. DuckDB needs no change —
+    its SUM(BIGINT) is already HUGEINT. The raw `sum_d_sq` diagnostic
+    column stays int64 (exact to ~3e6 docs per slice; shard by
+    lang/source beyond that — correlations are per-slice diagnostics
+    anyway).
     """
     m = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -144,12 +151,25 @@ def q_rank_corr_len_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r_types"),
     )
+    return spearman_bp_from_ranks(r)
+
+
+def spearman_bp_from_ranks(r: DataFrame) -> DataFrame:
+    """Exact integer Spearman (basis points) from a frame of rank pairs
+    ``(r_len, r_types)``: rho_bp = 10000 - 60000*S div n(n^2-1), with
+    the product and divisor formed in decimal(38,0) so the path is
+    exact far past the n≈7e4 point where ``60000*S`` leaves int64
+    (pinned by ``tests/test_identities3.py``)."""
     d2 = (F.col("r_len") - F.col("r_types")) * (F.col("r_len") - F.col("r_types"))
+    dec_sum = (
+        "sum(cast((r_len - r_types) * (r_len - r_types) as decimal(38,0)))"
+    )
+    dec_n = "cast(count(*) as decimal(38,0))"
     return r.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(d2).cast("long").alias("sum_d_sq"),
+        F.sum(d2.cast("decimal(38,0)")).cast("long").alias("sum_d_sq"),
         F.expr(
-            "cast(10000 - 60000 * sum((r_len - r_types) * (r_len - r_types))"
-            " div (count(*) * (count(*) * count(*) - 1)) as long)"
+            f"cast(10000 - cast(60000 as decimal(38,0)) * {dec_sum}"
+            f" div ({dec_n} * ({dec_n} * {dec_n} - 1)) as long)"
         ).alias("spearman_bp"),
     )

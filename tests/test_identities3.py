@@ -97,3 +97,28 @@ def test_newsvendor_is_exact_quantile(hist, frac_bp):
     if lower:
         served_below = sum(w for q, w in hist.items() if q <= max(lower))
         assert served_below * 10000 < total * frac_bp
+
+
+# ---------------------------------------------------------------------------
+# Decimal Spearman survives past the int64 product ceiling (sf10 fix)
+# ---------------------------------------------------------------------------
+def test_spearman_decimal_past_int64_ceiling(spark):
+    """Perfectly reversed ranks at n=100k: S = n(n^2-1)/3, so the old
+    long-typed ``60000*S`` is ~2e19 > 2^63 and raised ARITHMETIC_OVERFLOW
+    under ANSI (exactly how the sf10 run died at 5e5 docs). The
+    decimal(38,0) path must return the exact rho = -1 (bp = -10000)."""
+    import pyspark.sql.functions as F
+
+    from bikes_data_warehouse_etl_spark.plans.pipeline_ops25 import (
+        spearman_bp_from_ranks,
+    )
+
+    n = 100_000
+    r = spark.range(n).select(
+        (F.col("id") + 1).cast("long").alias("r_len"),
+        (F.lit(n) - F.col("id")).cast("long").alias("r_types"),
+    )
+    row = spearman_bp_from_ranks(r).collect()[0]
+    assert row.n_docs == n
+    assert row.sum_d_sq == n * (n * n - 1) // 3
+    assert row.spearman_bp == -10000
