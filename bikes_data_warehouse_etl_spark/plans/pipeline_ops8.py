@@ -15,6 +15,9 @@ import pyspark.sql.functions as F
 
 from bikes_data_warehouse_etl_spark.functions.text import hash64
 from bikes_data_warehouse_etl_spark.operators.skew import null_split_left_join
+from bikes_data_warehouse_etl_spark.plans.coverage import (
+    SQL_FUZZY_PAIRS as _sql_fuzzy_pairs_adaptive,
+)
 from bikes_data_warehouse_etl_spark.plans.synthetic import _q, _t
 
 
@@ -243,18 +246,9 @@ def q_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Entity clustering over fuzzy-match edges (record linkage closure)
 # ---------------------------------------------------------------------------
-_SQL_FUZZY_PAIRS = """
-    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
-    FROM customer a JOIN customer b
-      ON a.c_nationkey = b.c_nationkey
-     AND substr(a.c_name, 15, 2) = substr(b.c_name, 15, 2)
-     AND a.c_custkey < b.c_custkey
-    WHERE levenshtein(a.c_name, b.c_name) <= 3
-    """
-
 _SQL_FUZZY_CLUSTERS = f"""
     WITH RECURSIVE
-    pairs AS ({_SQL_FUZZY_PAIRS}),
+    pairs AS (SELECT id_a, id_b FROM ({_sql_fuzzy_pairs_adaptive}) fp),
     edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
               UNION ALL SELECT id_b, id_a FROM pairs),
     reach AS (

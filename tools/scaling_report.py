@@ -1,0 +1,107 @@
+"""Scale-ladder report: per-query wall time at three scale factors and
+the implied scaling exponent, so sub/super-linear behavior is a
+checked-in number instead of a docstring claim.
+
+Usage:
+    python tools/scaling_report.py SF01_JSON SF1_JSON SF10_JSON [out_md]
+
+Inputs are ``tools/run_suite.py`` artifacts (or a ``bench.py`` /
+driver BENCH json for the sf0.1 column — both carry ``queries``).
+Data volume steps 10x between adjacent rungs, so the fitted exponent
+is ``log10(t_sf10 / t_sf1)``: 1.0 = linear, <1 sub-linear (fixed
+overhead amortizing away), >1 super-linear. Queries whose exponent
+exceeds ``FLAG_EXPONENT`` *and* whose sf10 time exceeds ``FLAG_SECS``
+are listed as scale risks (tiny absolute times produce noisy
+exponents; a 0.2 s -> 4 s query is JVM noise, not a design problem).
+
+Writes a markdown table sorted by sf10 time, with the flagged set on
+top, to ``SCALING.md`` by default.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+
+FLAG_EXPONENT = 1.30  # >10^1.3 ~ 20x wall per 10x data
+FLAG_SECS = 20.0  # ignore exponent noise below this absolute sf10 time
+
+
+def load_times(path: str) -> dict[str, float]:
+    with open(path) as f:
+        doc = json.load(f)
+    doc = doc.get("parsed") or doc
+    qs = doc.get("queries") or {}
+    out: dict[str, float] = {}
+    for name, v in qs.items():
+        if isinstance(v, dict):
+            if "error" in v:
+                continue
+            v = v.get("s")
+        if v is not None:
+            out[name] = float(v)
+    return out
+
+
+def main() -> int:
+    if len(sys.argv) < 4:
+        print(__doc__)
+        return 2
+    t01 = load_times(sys.argv[1])
+    t1 = load_times(sys.argv[2])
+    t10 = load_times(sys.argv[3])
+    out_md = sys.argv[4] if len(sys.argv) > 4 else "SCALING.md"
+
+    rows = []
+    for name in sorted(set(t01) | set(t1) | set(t10)):
+        a, b, c = t01.get(name), t1.get(name), t10.get(name)
+        exp = (
+            round(math.log10(c / b), 2)
+            if (b and c and b > 0.05)  # sub-50ms base is pure noise
+            else None
+        )
+        flagged = (
+            exp is not None and exp > FLAG_EXPONENT and c is not None and c > FLAG_SECS
+        )
+        rows.append((name, a, b, c, exp, flagged))
+
+    flagged = [r for r in rows if r[5]]
+    rows.sort(key=lambda r: -(r[3] or 0.0))
+
+    def fmt(v, nd=2):
+        return f"{v:.{nd}f}" if v is not None else "—"
+
+    lines = [
+        "# SCALING — per-query wall time across a 100x data ladder",
+        "",
+        f"Columns: seconds at sf0.1 / sf1 / sf10 (single-shot, {len(rows)}",
+        "queries), `exp` = log10(t_sf10/t_sf1) — the scaling exponent over",
+        "the last 10x step (1.0 = linear). Flag rule: exp > "
+        f"{FLAG_EXPONENT} AND sf10 > {FLAG_SECS:.0f}s.",
+        "",
+        f"**Flagged super-linear at scale: {len(flagged)}**"
+        + (
+            " — " + ", ".join(r[0] for r in flagged)
+            if flagged
+            else " (none)"
+        ),
+        "",
+        "| query | sf0.1 s | sf1 s | sf10 s | exp |",
+        "|---|---|---|---|---|",
+    ]
+    for name, a, b, c, exp, fl in rows:
+        mark = " ⚠" if fl else ""
+        lines.append(
+            f"| {name}{mark} | {fmt(a)} | {fmt(b)} | {fmt(c)} | {fmt(exp)} |"
+        )
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out_md}: {len(rows)} queries, {len(flagged)} flagged")
+    for r in flagged:
+        print(f"  FLAG {r[0]}: sf1={r[2]} sf10={r[3]} exp={r[4]}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
