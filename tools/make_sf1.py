@@ -24,10 +24,10 @@ way real sf1 data would, instead of degenerately:
 Usage: python tools/make_sf1.py [out_dir] [--replicas N]
 
 ``--replicas 100`` produces an sf10-scale set (~60M lineitem) with the
-same disjoint-key/rotation discipline (rotation cycles mod 26 — at
-N > 26 replicas share rotations but never keys, so exact dedup still
-collapses nothing across replicas while shingle work repeats; fine for
-throughput smokes, not for near-dup pair-count claims).
+same disjoint-key discipline; text transforms stay UNIQUE per replica
+(rotations for i < 26, seeded alphabet permutations beyond — see
+``_rot``), so near-dup pair counts scale linearly at any replica count
+and sf10 exponents measure the engine, not a generator collision.
 """
 
 from __future__ import annotations
@@ -59,13 +59,35 @@ OFF = {
 
 
 def _rot(i: int) -> tuple[str, str]:
-    i = i % 26  # rotations cycle; beyond 26 replicas they repeat
+    """Per-replica letter permutation for documents.text.
+
+    Replicas 0-25 keep the original Caesar rotation — /tmp/sf1 (10
+    replicas) and its checked-in 302/303 oracle matrix stay
+    byte-identical. Replicas >= 26 get a seeded Fisher-Yates
+    permutation of the alphabet instead of a cycled rotation: with
+    cycling, replicas i and i+26 shared a rotation, so their texts
+    were exact duplicates under different doc_ids and every near-dup
+    query's OUTPUT grew quadratically in replica count at sf10 — a
+    generator artifact, not an engine behavior (measured: exp 1.9 on
+    neardup_jaccard_fast at 100 replicas). Distinct permutations keep
+    shingle sets disjoint across all replicas (vocabulary words are
+    3-7 letters; two different permutations map a word to the same
+    image only on a measure-zero coincidence), so pair counts stay
+    sf0.1-like per replica at any replica count.
+    """
     lower = string.ascii_lowercase
     upper = string.ascii_uppercase
-    return (
-        lower + upper,
-        lower[i:] + lower[:i] + upper[i:] + upper[:i],
-    )
+    if i < 26:
+        return (
+            lower + upper,
+            lower[i:] + lower[:i] + upper[i:] + upper[:i],
+        )
+    import random
+
+    perm = list(lower)
+    random.Random(i).shuffle(perm)
+    p = "".join(perm)
+    return (lower + upper, p + p.upper())
 
 
 def replicate(df, i: int, offsets: dict[str, int], text_cols=()):
