@@ -30,6 +30,24 @@ def _sdiv_expr(num: str, den: str) -> str:
     )
 
 
+# 128-bit-exact OLS slope over the canonical sufficient-sum aliases
+# (n, sx, sy, sxy, sxx): the n·Σxy and n·Σxx PRODUCTS leave int64 at
+# ~2.5e6 rows with bp-scale x (sf10 sweep caught this live in both
+# `ols_discount_quantity` and `degree_assortativity`), so they are
+# formed in DuckDB HUGEINT / Spark decimal(38,0) and only the
+# milli-scale quotient returns to int64.
+SLOPE128_SQL = _sdiv_sql(
+    "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy",
+    "GREATEST((CAST(n AS HUGEINT) * sxx"
+    " - CAST(sx AS HUGEINT) * sx) // 1000, 1)",
+)
+SLOPE128_EXPR = _sdiv_expr(
+    "cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy",
+    "GREATEST((cast(n as decimal(38,0)) * sxx"
+    " - cast(sx as decimal(38,0)) * sx) div 1000, 1)",
+)
+
+
 # ---------------------------------------------------------------------------
 # OLS: discount (bp) -> quantity slope per return flag
 # ---------------------------------------------------------------------------
@@ -47,9 +65,7 @@ _SQL_OLS = f"""
         FROM xy GROUP BY 1),
     est AS (
         SELECT flag, n,
-               {_sdiv_sql("n * sxy - sx * sy",
-                          "GREATEST((n * sxx - sx * sx) // 1000, 1)")}
-                   AS slope_milli,
+               CAST({SLOPE128_SQL} AS BIGINT) AS slope_milli,
                sx, sy
         FROM s)
     SELECT flag, n AS n_rows, slope_milli,
@@ -73,8 +89,12 @@ def q_ols_discount_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan, one 5-long-wide map-side-combined aggregate per
     flag — the sufficient-statistics pattern: ANY OLS over 100 TB is
     these five sums, mergeable across shards like `incremental_agg_
-    merge`. int64 bounds: nΣxx ≤ 6e18 at ~2.5e6 rows/flag with bp-
-    scale x — beyond that, shard the sums and merge in kilounits.
+    merge`. The five SUMS stay int64 (Σxx ≤ 1e6·rows — safe to ~9e12
+    rows/flag); the slope's n·Σxx and n·Σxy PRODUCTS leave int64 at
+    ~2.5e6 rows/flag (the sf10 sweep caught exactly this), so they
+    are formed in 128-bit exact arithmetic — Spark decimal(38,0),
+    DuckDB HUGEINT — and only the ≤milli-scale quotient returns to
+    int64. Same ladder as `ols2_cramer` / `spearman_bp_from_ranks`.
     """
     xy = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
@@ -91,13 +111,7 @@ def q_ols_discount_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = s.select(
         "flag",
         "n",
-        F.expr(
-            _sdiv_expr(
-                "n * sxy - sx * sy", "GREATEST((n * sxx - sx * sx) div 1000, 1)"
-            )
-        )
-        .cast("long")
-        .alias("slope_milli"),
+        F.expr(SLOPE128_EXPR).cast("long").alias("slope_milli"),
         "sx",
         "sy",
     )

@@ -17,8 +17,8 @@ from bikes_data_warehouse_etl_spark.plans.pipeline_ops16 import (
     sql_coorder_edge_ctes,
 )
 from bikes_data_warehouse_etl_spark.plans.pipeline_ops29 import (
-    _sdiv_expr,
-    _sdiv_sql,
+    SLOPE128_EXPR,
+    SLOPE128_SQL,
 )
 from bikes_data_warehouse_etl_spark.plans.synthetic import _q, _t
 
@@ -186,9 +186,7 @@ _SQL_ASSORTATIVITY = f"""
                CAST(SUM(x * x) AS BIGINT) AS sxx
         FROM pts)
     SELECT n AS n_points,
-           CAST({_sdiv_sql("n * sxy - sx * sy",
-                           "GREATEST((n * sxx - sx * sx) // 1000, 1)")}
-               AS BIGINT) AS assortativity_milli
+           CAST({SLOPE128_SQL} AS BIGINT) AS assortativity_milli
     FROM s
     """
 
@@ -207,9 +205,10 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: degrees join the edge set on vertex keys (|V|-bounded build
     side), the five sums are one map-side-combined aggregate over 2m
-    rows. int64: n·Σxy ≤ ~5e18 at m ≈ 1e6 edges with ≤2^10 degrees —
-    shard the sums beyond (they merge), or coarsen degrees a bit
-    first.
+    rows. The sums stay int64 (Σxy ≤ d²·2m); the slope's n·Σxy /
+    n·Σxx products left int64 at sf10's edge volume (sweep-caught), so
+    they use the shared 128-bit slope path (`SLOPE128_*`,
+    pipeline_ops29) — HUGEINT / decimal(38,0), quotient back to int64.
     """
     e = co_order_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
@@ -233,11 +232,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("n").alias("n_points"),
-        F.expr(
-            "CAST("
-            + _sdiv_expr(
-                "n * sxy - sx * sy", "GREATEST((n * sxx - sx * sx) div 1000, 1)"
-            )
-            + " AS LONG)"
-        ).alias("assortativity_milli"),
+        F.expr("CAST(" + SLOPE128_EXPR + " AS LONG)").alias(
+            "assortativity_milli"
+        ),
     )

@@ -36,11 +36,13 @@ _SQL_SEASONALITY = """
     t AS (
         SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s,
                CAST(SUM(ss_g) AS BIGINT) AS ssq,
-               CAST(SUM(s_g * s_g // n_g) AS BIGINT) AS a
+               CAST(SUM(CAST(s_g AS HUGEINT) * s_g // n_g) AS BIGINT) AS a
         FROM g)
     SELECT n AS n_days,
-           CAST((a - s * s // n) * 10000
-                // GREATEST(ssq - s * s // n, 1) AS BIGINT) AS eta_sq_bp
+           CAST((CAST(a AS HUGEINT) - CAST(s AS HUGEINT) * s // n) * 10000
+                // GREATEST(CAST(ssq AS HUGEINT)
+                            - CAST(s AS HUGEINT) * s // n, 1)
+               AS BIGINT) AS eta_sq_bp
     FROM t
     """
 
@@ -60,8 +62,13 @@ def q_weekday_seasonality_strength(
 
     Scale: one fact-sized daily rollup, then a 7-group aggregate of
     three longs — the sufficient-statistics pattern again: shards
-    merge by adding (n, s, ssq) per group. int64: S² needs total
-    kilodollars ≤ 3e9 — pre-scale to megadollars past that.
+    merge by adding (n, s, ssq) per group. int64 holds for the per-day
+    and per-group SUMS (ss_g ≤ kd²·days); the S² / S_g² PRODUCTS left
+    int64 at sf10's daily volumes (sweep-caught), so the ANOVA ratio
+    is formed in 128-bit exact arithmetic — DuckDB HUGEINT, Spark
+    decimal(38,0) — and only the ≤10000 bp quotient returns to int64
+    (good to ~3e9 total kilodollars squared ≈ 1e19 × 1e4 within
+    decimal38's 1e38 headroom, i.e. far past 100 TB).
     """
     daily = (
         _t(spark, sf_dir, "orders")
@@ -85,13 +92,16 @@ def q_weekday_seasonality_strength(
         F.sum("n_g").cast("long").alias("n"),
         F.sum("s_g").cast("long").alias("s"),
         F.sum("ss_g").cast("long").alias("ssq"),
-        F.sum(F.expr("s_g * s_g div n_g")).cast("long").alias("a"),
+        F.sum(F.expr("cast(s_g as decimal(38,0)) * s_g div n_g"))
+        .cast("long")
+        .alias("a"),
     )
     return t.select(
         F.col("n").alias("n_days"),
         F.expr(
-            "CAST((a - s * s div n) * 10000"
-            " div GREATEST(ssq - s * s div n, 1) AS LONG)"
+            "CAST((cast(a as decimal(38,0)) - cast(s as decimal(38,0)) * s"
+            " div n) * 10000 div GREATEST(cast(ssq as decimal(38,0))"
+            " - cast(s as decimal(38,0)) * s div n, 1) AS LONG)"
         ).alias("eta_sq_bp"),
     )
 

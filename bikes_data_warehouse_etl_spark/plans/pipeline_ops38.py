@@ -36,8 +36,9 @@ _SQL_BINSEG = f"""
         FROM daily),
     scored AS (
         SELECT day, nl, n - nl AS nr, sl, s - sl AS sr,
-               sl * sl // nl + (s - sl) * (s - sl) // (n - nl)
-               - s * s // n AS gain
+               CAST(sl AS HUGEINT) * sl // nl
+               + CAST(s - sl AS HUGEINT) * (s - sl) // (n - nl)
+               - CAST(s AS HUGEINT) * s // n AS gain
         FROM pre
         WHERE nl >= {_BS_MIN_SEG} AND n - nl >= {_BS_MIN_SEG})
     SELECT day AS split_day, nl AS n_left, nr AS n_right,
@@ -65,8 +66,12 @@ def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every candidate's score comes from ONE prefix-sum window
     over the calendar-bounded day domain — O(days) candidates scored
     in one pass, no per-candidate scan; the fact table is touched
-    only by the daily rollup. int64: S² needs total kilodollars
-    ≤ 3e9 (megadollar rescale beyond).
+    only by the daily rollup. int64 holds the prefix sums themselves;
+    the S_L²/S_R² PRODUCTS in the gain left int64 at sf10's revenue
+    volume (sweep-caught: two ~5e18 terms sum past 9.2e18), so the
+    gain is formed in 128-bit exact arithmetic (HUGEINT /
+    decimal(38,0)) and only the final gain (≤ S²/n ≈ 2e15) returns to
+    int64 — headroom to ~1e19 total kilodollars, far past 100 TB.
     """
     daily = (
         _t(spark, sf_dir, "orders")
@@ -102,7 +107,9 @@ def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sl",
         (F.col("s") - F.col("sl")).alias("sr"),
         F.expr(
-            "sl * sl div nl + (s - sl) * (s - sl) div (n - nl) - s * s div n"
+            "cast(sl as decimal(38,0)) * sl div nl"
+            " + cast(s - sl as decimal(38,0)) * (s - sl) div (n - nl)"
+            " - cast(s as decimal(38,0)) * s div n"
         ).alias("gain"),
     )
     return (

@@ -255,8 +255,8 @@ _SQL_BROWN = f"""
                    (SELECT MAX(day) FROM rev))) AS BIGINT) AS day),
     c1 AS (
         SELECT r.day + t.i AS day,
-               CAST(r.cents * (CAST(1 AS BIGINT) << ({_DS_W} - 1 - t.i))
-                   AS BIGINT) AS w
+               CAST(r.cents AS HUGEINT)
+               * (CAST(1 AS BIGINT) << ({_DS_W} - 1 - t.i)) AS w
         FROM rev r, generate_series(0, {_DS_W} - 1) AS t(i)),
     s1 AS (
         SELECT s.day,
@@ -267,8 +267,8 @@ _SQL_BROWN = f"""
         GROUP BY 1),
     c2 AS (
         SELECT a.day + t.i AS day,
-               CAST(a.s1_milli * (CAST(1 AS BIGINT) << ({_DS_W} - 1 - t.i))
-                   AS BIGINT) AS w
+               CAST(a.s1_milli AS HUGEINT)
+               * (CAST(1 AS BIGINT) << ({_DS_W} - 1 - t.i)) AS w
         FROM s1 a, generate_series(0, {_DS_W} - 1) AS t(i)),
     s2 AS (
         SELECT s.day,
@@ -304,7 +304,11 @@ def q_brown_double_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine, no windows over fact rows; the second pass reads the
     first's ~2.4k-row output, so doubling the smoother costs nothing
     at fact scale. Quantization: S₁ truncates to milli-cents once,
-    identically on both engines, before feeding S₂.
+    identically on both engines, before feeding S₂. The weighted
+    contributions (daily cents × 2¹⁵, then milli-S₁ × 2¹⁵) left int64
+    at sf10's daily revenue (sweep-caught), so contributions and
+    their sums are 128-bit exact — HUGEINT / decimal(38,0) — and only
+    the truncated milli-scale smoothed values return to int64.
     """
     o = _t(spark, sf_dir, "orders")
     rev = (
@@ -333,13 +337,11 @@ def q_brown_double_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             (F.col("day") + F.col("i")).alias("day"),
             (
-                F.col(val)
+                F.col(val).cast("decimal(38,0)")
                 * F.expr(f"shiftleft(CAST(1 AS BIGINT), {_DS_W} - 1 - i)")
             ).alias("w"),
         )
-        num = contrib.groupBy("day").agg(
-            F.sum("w").cast("long").alias("num")
-        )
+        num = contrib.groupBy("day").agg(F.sum("w").alias("num"))
         return spine.join(num, "day", "left").select(
             "day",
             F.expr(

@@ -308,8 +308,11 @@ _SQL_AR = f"""
                CAST(SUM(x * x) AS BIGINT) AS sxx
         FROM lagged GROUP BY 1)
     SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
-           CAST({_sdiv_sql("(n * sxy - sx * sy) * 1000",
-                           "GREATEST(n * sxx - sx * sx, 1)")} AS BIGINT)
+           CAST({_sdiv_sql(
+               "(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)"
+               " * 1000",
+               "GREATEST(CAST(n AS HUGEINT) * sxx"
+               " - CAST(sx AS HUGEINT) * sx, 1)")} AS BIGINT)
                AS ar_slope_milli
     FROM s
     """
@@ -330,7 +333,10 @@ def q_ar_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     census against itself shifted by a constant — three bounded
     joins fanned from one ARRAY unnest, five mergeable sums per lag.
     Missing days simply produce no pair (documented: gaps thin
-    n_pairs, never bias the sums).
+    n_pairs, never bias the sums). The slope's n·Σ products (and the
+    ×1000 milli scale on the numerator) left int64 at sf10's daily
+    kilocents (sweep-caught) — formed 128-bit (HUGEINT /
+    decimal(38,0)), quotient back to int64.
     """
     daily = (
         _t(spark, sf_dir, "orders")
@@ -368,8 +374,10 @@ def q_ar_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST("
             + _sdiv_expr(
-                "(n * sxy - sx * sy) * 1000",
-                "GREATEST(n * sxx - sx * sx, 1)",
+                "(cast(n as decimal(38,0)) * sxy"
+                " - cast(sx as decimal(38,0)) * sy) * 1000",
+                "GREATEST(cast(n as decimal(38,0)) * sxx"
+                " - cast(sx as decimal(38,0)) * sx, 1)",
             )
             + " AS BIGINT)"
         ).alias("ar_slope_milli"),

@@ -124,16 +124,16 @@ _SQL_COV = """
                CAST(SUM(t * t) AS BIGINT) AS stt
         FROM obs)
     SELECT n AS n_lines,
-           CAST((n * sqq - sq * sq) // n AS BIGINT) AS var_qty,
-           CAST((n * sdd - sd * sd) // n AS BIGINT) AS var_disc,
-           CAST((n * spp - sp * sp) // n AS BIGINT) AS var_price_kd,
-           CAST((n * stt - st * st) // n AS BIGINT) AS var_tax,
-           CAST((n * sqd - sq * sd) // n AS BIGINT) AS cov_qty_disc,
-           CAST((n * sqp - sq * sp) // n AS BIGINT) AS cov_qty_price,
-           CAST((n * sqt - sq * st) // n AS BIGINT) AS cov_qty_tax,
-           CAST((n * sdp - sd * sp) // n AS BIGINT) AS cov_disc_price,
-           CAST((n * sdt - sd * st) // n AS BIGINT) AS cov_disc_tax,
-           CAST((n * spt - sp * st) // n AS BIGINT) AS cov_price_tax
+           CAST((CAST(n AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq) // n AS BIGINT) AS var_qty,
+           CAST((CAST(n AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd) // n AS BIGINT) AS var_disc,
+           CAST((CAST(n AS HUGEINT) * spp - CAST(sp AS HUGEINT) * sp) // n AS BIGINT) AS var_price_kd,
+           CAST((CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st) // n AS BIGINT) AS var_tax,
+           CAST((CAST(n AS HUGEINT) * sqd - CAST(sq AS HUGEINT) * sd) // n AS BIGINT) AS cov_qty_disc,
+           CAST((CAST(n AS HUGEINT) * sqp - CAST(sq AS HUGEINT) * sp) // n AS BIGINT) AS cov_qty_price,
+           CAST((CAST(n AS HUGEINT) * sqt - CAST(sq AS HUGEINT) * st) // n AS BIGINT) AS cov_qty_tax,
+           CAST((CAST(n AS HUGEINT) * sdp - CAST(sd AS HUGEINT) * sp) // n AS BIGINT) AS cov_disc_price,
+           CAST((CAST(n AS HUGEINT) * sdt - CAST(sd AS HUGEINT) * st) // n AS BIGINT) AS cov_disc_tax,
+           CAST((CAST(n AS HUGEINT) * spt - CAST(sp AS HUGEINT) * st) // n AS BIGINT) AS cov_price_tax
     FROM s
     """
 
@@ -155,7 +155,10 @@ def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the textbook sufficient-statistics pattern — one
     map-side-combined pass, a 1-row result, O(k²) sums for k
     variables and never a second scan. Price kilodollar-floored to
-    hold n·Σpp inside int64 at sf1 (`cuped_adjusted_ab`'s rule).
+    hold the Σ sums inside int64 (`cuped_adjusted_ab`'s rule); the
+    n·Σ PRODUCTS still left int64 at sf10's 60M lines (sweep-caught:
+    n·Σqq ≈ 9e18), so every matrix entry is formed 128-bit (HUGEINT /
+    decimal(38,0)) with only the n-floored entry returning to int64.
     """
     obs = _t(spark, sf_dir, "lineitem").selectExpr(
         "CAST(l_quantity AS BIGINT) AS q",
@@ -187,16 +190,16 @@ def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.selectExpr(
         "n AS n_lines",
-        "CAST((n * sqq - sq * sq) div n AS BIGINT) AS var_qty",
-        "CAST((n * sdd - sd * sd) div n AS BIGINT) AS var_disc",
-        "CAST((n * spp - sp * sp) div n AS BIGINT) AS var_price_kd",
-        "CAST((n * stt - st * st) div n AS BIGINT) AS var_tax",
-        "CAST((n * sqd - sq * sd) div n AS BIGINT) AS cov_qty_disc",
-        "CAST((n * sqp - sq * sp) div n AS BIGINT) AS cov_qty_price",
-        "CAST((n * sqt - sq * st) div n AS BIGINT) AS cov_qty_tax",
-        "CAST((n * sdp - sd * sp) div n AS BIGINT) AS cov_disc_price",
-        "CAST((n * sdt - sd * st) div n AS BIGINT) AS cov_disc_tax",
-        "CAST((n * spt - sp * st) div n AS BIGINT) AS cov_price_tax",
+        "CAST((cast(n as decimal(38,0)) * sqq - cast(sq as decimal(38,0)) * sq) div n AS BIGINT) AS var_qty",
+        "CAST((cast(n as decimal(38,0)) * sdd - cast(sd as decimal(38,0)) * sd) div n AS BIGINT) AS var_disc",
+        "CAST((cast(n as decimal(38,0)) * spp - cast(sp as decimal(38,0)) * sp) div n AS BIGINT) AS var_price_kd",
+        "CAST((cast(n as decimal(38,0)) * stt - cast(st as decimal(38,0)) * st) div n AS BIGINT) AS var_tax",
+        "CAST((cast(n as decimal(38,0)) * sqd - cast(sq as decimal(38,0)) * sd) div n AS BIGINT) AS cov_qty_disc",
+        "CAST((cast(n as decimal(38,0)) * sqp - cast(sq as decimal(38,0)) * sp) div n AS BIGINT) AS cov_qty_price",
+        "CAST((cast(n as decimal(38,0)) * sqt - cast(sq as decimal(38,0)) * st) div n AS BIGINT) AS cov_qty_tax",
+        "CAST((cast(n as decimal(38,0)) * sdp - cast(sd as decimal(38,0)) * sp) div n AS BIGINT) AS cov_disc_price",
+        "CAST((cast(n as decimal(38,0)) * sdt - cast(sd as decimal(38,0)) * st) div n AS BIGINT) AS cov_disc_tax",
+        "CAST((cast(n as decimal(38,0)) * spt - cast(sp as decimal(38,0)) * st) div n AS BIGINT) AS cov_price_tax",
     )
 
 
