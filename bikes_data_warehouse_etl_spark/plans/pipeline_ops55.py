@@ -109,7 +109,7 @@ def _sql_eta2(group_expr: str, label: str) -> str:
     return f"""
         SELECT '{label}' AS factor,
                CAST(COUNT(*) AS BIGINT) AS n_levels,
-               CAST(SUM(cnt * ({_sdiv_sql("s * 1000", "cnt")}
+               CAST(SUM(CAST(cnt AS HUGEINT) * ({_sdiv_sql("s * 1000", "cnt")}
                                - (SELECT {_sdiv_sql("SUM(s) * 1000",
                                                     "SUM(cnt)")}
                                   FROM g_{label}))
@@ -145,7 +145,9 @@ _SQL_MAIN_EFFECTS = f"""
                CAST(SUM(y * y) AS BIGINT) AS syy
         FROM obs),
     tss AS (
-        SELECT CAST({_sdiv_sql("(n * syy - sy * sy)", "n")} AS BIGINT)
+        SELECT CAST({_sdiv_sql(
+            "(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)",
+            "n")} AS BIGINT)
             AS total_var_n
         FROM tot),
     eff AS (
@@ -192,7 +194,13 @@ def q_main_effects_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tss = tot.select(
         F.expr(
-            "CAST(" + _sdiv_expr("(n * syy - sy * sy)", "n") + " AS BIGINT)"
+            "CAST("
+            + _sdiv_expr(
+                "(cast(n as decimal(38,0)) * syy"
+                " - cast(sy as decimal(38,0)) * sy)",
+                "n",
+            )
+            + " AS BIGINT)"
         ).alias("total_var_n")
     )
 
@@ -211,7 +219,7 @@ def q_main_effects_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.lit(label).alias("factor"),
                 F.expr(
-                    "cnt * ("
+                    "cast(cnt as decimal(38,0)) * ("
                     + _sdiv_expr("s * 1000", "cnt")
                     + " - grand_milli) * ("
                     + _sdiv_expr("s * 1000", "cnt")
@@ -260,10 +268,11 @@ _SQL_CHEBYSHEV = f"""
         SELECT t.k FROM generate_series(2, 4) AS t(k)),
     hits AS (
         SELECT ks.k,
-               CAST(SUM(CASE WHEN (d.kd * s.n - s.sx)
-                                  * (d.kd * s.n - s.sx)
-                                > ks.k * ks.k
-                                  * (s.n * s.sxx - s.sx * s.sx)
+               CAST(SUM(CASE WHEN (CAST(d.kd AS HUGEINT) * s.n - s.sx)
+                                  * (CAST(d.kd AS HUGEINT) * s.n - s.sx)
+                                > CAST(ks.k * ks.k AS HUGEINT)
+                                  * (CAST(s.n AS HUGEINT) * s.sxx
+                                     - CAST(s.sx AS HUGEINT) * s.sx)
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
                CAST(MAX(s.n) AS BIGINT) AS n
         FROM daily d, s, ks
@@ -288,9 +297,11 @@ def q_chebyshev_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitoring family.
 
     Scale: three sums over the calendar census; each k is a row-local
-    predicate over the same broadcast sums — the squared-comparison
-    trick also keeps the audit exact at any magnitude where kd²·n
-    fits int64 (documented: mega-dollar floor beyond sf10).
+    predicate over the same broadcast sums. The squared comparison's
+    (kd·n − Σx)² and k²(n·Σx² − Σx²) terms left int64 exactly at sf10
+    (sweep-caught), so both comparison sides are formed 128-bit —
+    HUGEINT / decimal(38,0) — keeping the audit exact with no
+    magnitude rescale out to ~1e19 daily kilodollars.
     """
     daily = (
         _t(spark, sf_dir, "orders")
@@ -322,15 +333,12 @@ def q_chebyshev_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.sum(
-                (
-                    (F.col("kd") * F.col("n") - F.col("sx"))
-                    * (F.col("kd") * F.col("n") - F.col("sx"))
-                    > F.col("k")
-                    * F.col("k")
-                    * (
-                        F.col("n") * F.col("sxx")
-                        - F.col("sx") * F.col("sx")
-                    )
+                F.expr(
+                    "(cast(kd as decimal(38,0)) * n - sx)"
+                    " * (cast(kd as decimal(38,0)) * n - sx)"
+                    " > cast(k * k as decimal(38,0))"
+                    " * (cast(n as decimal(38,0)) * sxx"
+                    "    - cast(sx as decimal(38,0)) * sx)"
                 ).cast("long")
             )
             .cast("long")

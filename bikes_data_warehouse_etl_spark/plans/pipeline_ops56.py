@@ -43,8 +43,9 @@ _SQL_EB = f"""
         SELECT tn, ts,
                -- within-variance / between-variance of group means,
                -- both in hectodollar^2, floored; k >= 1
-               GREATEST({_sdiv_sql(
-                   "(tn * tss - ts * ts)", "tn * tn")}, 1) AS wv,
+               GREATEST(CAST({_sdiv_sql(
+                   "(CAST(tn AS HUGEINT) * tss - CAST(ts AS HUGEINT) * ts)",
+                   "CAST(tn AS HUGEINT) * tn")} AS BIGINT), 1) AS wv,
                GREATEST((SELECT {_sdiv_sql(
                    "SUM(n * (" + _sdiv_sql("s * 100", "n")
                    + " - " + _sdiv_sql("(SELECT ts FROM g) * 100",
@@ -81,7 +82,10 @@ def q_eb_shrunk_nation_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind every 'adjusted' leaderboard. `jackknife_nation_influence`
     measures how much a segment DISTORTS the pooled mean; this
     borrows pooled strength to STABILIZE the segment means. Units:
-    milli-kilodollars (kilodollar-floored so tn·Σy² holds at sf1).
+    milli-kilodollars; the within-variance tn·Σy² − (Σy)² product
+    left int64 at sf10's order volume (sweep-caught) and is formed
+    128-bit — HUGEINT / decimal(38,0) — with the floored
+    hectodollar² wv back in int64.
 
     Scale: per-nation (n, Σy, Σy²) from one pass; k is 1-row
     arithmetic over those sums (between-variance reuses the same
@@ -142,9 +146,13 @@ def q_eb_shrunk_nation_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "tn",
             "ts",
-            "GREATEST("
-            + _sdiv_expr("(tn * tss - ts * ts)", "tn * tn")
-            + ", 1) AS wv",
+            "GREATEST(CAST("
+            + _sdiv_expr(
+                "(cast(tn as decimal(38,0)) * tss"
+                " - cast(ts as decimal(38,0)) * ts)",
+                "cast(tn as decimal(38,0)) * tn",
+            )
+            + " AS BIGINT), 1) AS wv",
             "bv",
         )
         .selectExpr("tn", "ts", "wv div bv AS k")
