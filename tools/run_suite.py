@@ -3,7 +3,11 @@ given sf_dir with per-query try/except, so a single failure (e.g. an
 int64 overflow that only manifests at scale) cannot hide the failures
 behind it the way ``bench.py``'s fail-fast loop does.
 
-Usage: python tools/run_suite.py [sf_dir] [out_json]
+Usage: python tools/run_suite.py [sf_dir] [out_json] [query ...]
+
+With query names, only those run (out_json may be '-' to skip the
+artifact) — for A/B-ing a slow subset under different configs, e.g.
+SPARK_GRAFT_SHUFFLE_PARTITIONS=128.
 
 Writes one JSON doc: {"sf_dir": ..., "total_s": ..., "n_ok": ...,
 "n_fail": ..., "queries": {name: {"s": sec}|{"error": msg}}} and
@@ -27,11 +31,17 @@ from bikes_data_warehouse_etl_spark.plans import QUERIES  # noqa: E402
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else None
+    if out == "-":
+        out = None
+    only = set(sys.argv[3:])
     spark = get_spark("run_suite")
 
+    items = [
+        (n, s) for n, s in QUERIES.items() if not only or n in only
+    ]
     results: dict[str, dict] = {}
     t_suite = time.perf_counter()
-    for i, (name, spec) in enumerate(QUERIES.items(), 1):
+    for i, (name, spec) in enumerate(items, 1):
         t0 = time.perf_counter()
         try:
             spec.spark(spark, sf_dir).write.format("noop").mode(
@@ -39,11 +49,11 @@ def main() -> int:
             ).save()
             dt = round(time.perf_counter() - t0, 3)
             results[name] = {"s": dt}
-            print(f"[{i}/{len(QUERIES)}] {name}: {dt}s", file=sys.stderr)
+            print(f"[{i}/{len(items)}] {name}: {dt}s", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — the point is to keep going
             msg = str(e).splitlines()[0][:300]
             results[name] = {"error": msg, "s": round(time.perf_counter() - t0, 3)}
-            print(f"[{i}/{len(QUERIES)}] {name}: FAIL {msg}", file=sys.stderr)
+            print(f"[{i}/{len(items)}] {name}: FAIL {msg}", file=sys.stderr)
         sys.stderr.flush()
 
     n_fail = sum(1 for r in results.values() if "error" in r)
