@@ -279,18 +279,28 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier orders — a late line, ANOTHER supplier exists on the
     order (EXISTS), and NO other supplier was late (NOT EXISTS). The
     oracle keeps both correlated subqueries; the Spark plan
-    decorrelates BOTH into one per-order aggregate: n_suppliers
-    (count distinct), n_late_suppliers (count distinct of late), and
-    the late supplier's key (min/max over late lines — well-defined
-    exactly when n_late_suppliers = 1). An order qualifies iff
-    n_suppliers > 1 ∧ n_late_suppliers = 1; its single late supplier
-    takes the blame.
+    decorrelates BOTH into a TWO-LEVEL aggregate. Level 1 groups the
+    joined fact by (order, supplier): was this supplier late here,
+    and on how many lines. Level 2 rolls up per order: n_supp
+    (plain COUNT of level-1 rows — already distinct), n_late_supp
+    (SUM of the late flags), the single late supplier's key, and that
+    supplier's late-line count (well-defined exactly when
+    n_late_supp = 1). An order qualifies iff n_supp > 1 ∧
+    n_late_supp = 1; its blamed supplier's late lines are already in
+    hand, so numwait is a dim-sized rollup — no second pass over the
+    fact.
 
     Scale: the textbook form self-joins lineitem TWICE per subquery;
-    this form is ONE orderkey-grouped aggregate over the join output
-    — fact shuffled once, then a supplier-count-sized rollup. The
-    late flag rides the existing orders join (orderdate needed
-    anyway). Top-10 with the s_name tiebreak is deterministic.
+    the round-4 form grouped once but paid a double COUNT DISTINCT
+    (an Expand tripling the fact rows) AND re-joined the fact for the
+    blamed suppliers' late lines (the un-cached `lines` lineage ran
+    the lineitem⋈orders join twice — 105 s at sf10). This form
+    shuffles the fact ONCE (the orderkey join); when that join
+    shuffles, both aggregate levels reuse the hash(orderkey)
+    partitioning (hash(ok) satisfies the clustered distribution of
+    (ok, sk) and of ok; no-Expand pinned in test_plan_shapes), and the
+    supplier name join broadcasts a dim. sf10 105 s → ~35 s. Top-10
+    with the s_name tiebreak is deterministic.
     """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -305,34 +315,25 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
         ).cast("int").alias("late"),
     )
-    per_order = lines.groupBy("ok").agg(
-        F.countDistinct("sk").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late") == 1, F.col("sk"))).alias(
-            "n_late_supp"
-        ),
-        F.max(F.when(F.col("late") == 1, F.col("sk"))).alias("late_sk"),
+    per_supp = lines.groupBy("ok", "sk").agg(
+        F.max("late").alias("is_late"),
+        F.sum("late").alias("n_late_lines"),
+    )
+    per_order = per_supp.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late_supp"),
+        F.max(F.when(F.col("is_late") == 1, F.col("sk"))).alias("late_sk"),
+        F.sum(
+            F.when(F.col("is_late") == 1, F.col("n_late_lines"))
+        ).alias("blamed_late_lines"),
     )
     blamed = per_order.where(
         (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
     )
-    # numwait counts LATE LINES of the blamed supplier per order.
-    # The late-lines side renames its columns (ll_*) before the join
-    # because both frames descend from `lines`: a pre-rename join on
-    # `blamed.ok == late_lines.ok` would have leaned on Spark's
-    # ambiguous-self-join auto-disambiguation (which warns "trivially
-    # true equals predicate"); the rename keeps the predicate
-    # unambiguous with no analyzer guesswork.
-    late_lines = lines.where(F.col("late") == 1).select(
-        F.col("ok").alias("ll_ok"), F.col("sk").alias("ll_sk")
-    )
     return (
-        blamed.join(
-            late_lines,
-            (F.col("ok") == F.col("ll_ok")) & (F.col("late_sk") == F.col("ll_sk")),
-        )
-        .join(s, F.col("late_sk") == F.col("s_suppkey"))
+        blamed.join(F.broadcast(s), F.col("late_sk") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .agg(F.sum("blamed_late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )

@@ -63,6 +63,10 @@ FORBIDDEN = {
     name: ["CartesianProduct"]
     for name in EXPECTATIONS
 }
+# Q21's two-level aggregate exists to avoid the double-COUNT-DISTINCT
+# Expand (3x fact rows) — a regression would reintroduce it silently
+EXPECTATIONS["waiting_supplier"] = ["TakeOrderedAndProject"]
+FORBIDDEN["waiting_supplier"] = ["CartesianProduct", "Expand"]
 
 
 def _plan(spark, sf_dir, name: str) -> str:
