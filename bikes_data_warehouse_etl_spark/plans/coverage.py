@@ -316,7 +316,16 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~900M comparisons); d=3 cuts that 10×, and the rule keeps holding
     at 100 TB (d=5 at 6B rows). d is integer-exact digit-length
     arithmetic, not float log10, so a boundary ulp can never flip the
-    blocking between engines."""
+    blocking between engines.
+
+    The in-block compare uses the BANDED Levenshtein
+    (``levenshtein(a, b, 3)``): with a fixed threshold k the DP needs
+    only the 2k+1 diagonal band — O(k·n) per pair instead of O(n²) —
+    and returns -1 past the threshold (early exit on the first band
+    row that exceeds it). Exact for every emitted distance, so the
+    full-DP oracle hash-matches; at 18-char names the band is 7/18 of
+    the table and most non-matching pairs exit after a few rows —
+    strictly less DP work per pair than the unbounded form."""
     names = fuzzy_blocked_names(spark, sf_dir)
     a = names.select(
         F.col("c_custkey").alias("id_a"),
@@ -333,8 +342,11 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["nk", "blk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("edit_dist") <= 3)
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("name_a", "name_b", 3).cast("long"),
+        )
+        .filter(F.col("edit_dist") >= 0)
         .select("id_a", "id_b", "edit_dist")
     )
 

@@ -177,7 +177,10 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_cust"),
         F.sum("cents").cast("long").alias("cents"),
-    )
+        # 10-row band census, TWO consumers (the scalar total and the
+        # share join) — lazy localCheckpoint runs the |customers|
+        # rollup + NTILE sort once instead of twice (sf10 measured 2×)
+    ).localCheckpoint(eager=False)
     tot = per.agg(F.sum("cents").alias("t"))
     return per.join(F.broadcast(tot)).select(
         F.col("decile").cast("long").alias("decile"),
@@ -369,6 +372,11 @@ def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("seg", "day")
         .agg(F.sum("c").cast("long").alias("cents"))
+        # |segments| × |days| census, THREE consumers (bounds, segs,
+        # the spine join) — lazy localCheckpoint runs the orders ⋈
+        # customer build once instead of three times (the
+        # `pagerank_suppliers` edge-set pattern; sf10 measured 3×).
+        .localCheckpoint(eager=False)
     )
     bounds = daily.agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")

