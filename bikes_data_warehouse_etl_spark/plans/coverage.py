@@ -323,9 +323,12 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the 2k+1 diagonal band — O(k·n) per pair instead of O(n²) —
     and returns -1 past the threshold (early exit on the first band
     row that exceeds it). Exact for every emitted distance, so the
-    full-DP oracle hash-matches; at 18-char names the band is 7/18 of
-    the table and most non-matching pairs exit after a few rows —
-    strictly less DP work per pair than the unbounded form."""
+    full-DP oracle hash-matches. On these 18-char names the measured
+    effect is a wash (same-JVM ABBA at sf10, tools/ab_sf10.py: 95 s
+    unbounded vs 100 s banded mean — within this host's noise); the
+    banded form is kept because its advantage is O(n/k) and grows
+    with string length, which is the regime that matters at 100 TB
+    (real entity names, not fixed-width synthetics)."""
     names = fuzzy_blocked_names(spark, sf_dir)
     a = names.select(
         F.col("c_custkey").alias("id_a"),

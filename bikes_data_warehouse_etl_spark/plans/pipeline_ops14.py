@@ -280,8 +280,9 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair-count shuffle vs the old both-directions build (the pair key
     # domain is near-unique at scale, so map-side combine can't save
     # it); the mirror lands on the already support-filtered edge set,
-    # which is orders of magnitude smaller. Same-session sf10 A/B:
-    # 1.6× whole-query speedup, same hash.
+    # which is orders of magnitude smaller. sf10: 143 s (old
+    # both-directions build, full-sweep conditions) → 39 s isolated,
+    # 9-13 s warm-cache (tools/ab_sf10.py ABBA), same hash.
     from bikes_data_warehouse_etl_spark.plans.pipeline_ops16 import (
         co_order_edges,
     )

@@ -60,17 +60,27 @@ def q_assoc_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     All integer (amplify-then-divide), so both engines agree exactly.
 
     Scale: the oracle spells the distinct-pair self-join; the Spark
-    twin generates DIRECTIONAL pairs row-locally from per-order part
+    twin generates CANONICAL u<v pairs row-locally from per-order part
     baskets (the `co_order_edges` basket pattern — fan-out ≤
-    basket², baskets are order-bounded), so the fact table never
-    self-joins. The item table is item-cardinality-bounded and joins
-    the pair census on the item key twice; the basket count is a
-    1-row broadcast; ranking is a top-25 heap.
+    C(basket, 2), baskets are order-bounded), so the fact table never
+    self-joins, and mirrors into the directional rule form only AFTER
+    the ≥3-support filter (support is symmetric and the filter
+    commutes with mirroring — half the bytes through the dominant
+    near-unique-key pair shuffle, where map-side combine can't help).
+    The basket frame feeds three consumers and is lazily
+    localCheckpointed so the collect_set shuffle runs once. The item
+    table is item-cardinality-bounded and joins the pair census on the
+    item key twice; the basket count is a 1-row broadcast; ranking is
+    a top-25 heap.
     """
     lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (
         lp.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("parts"))
+        # THREE consumers (n_ord, item, pair) — a lazy localCheckpoint
+        # runs the fact-scale collect_set shuffle once instead of three
+        # times (the `pagerank_suppliers` edge-set pattern)
+        .localCheckpoint(eager=False)
     )
     n_ord = baskets.agg(F.count(F.lit(1)).cast("long").alias("n"))
     item = (
@@ -78,21 +88,42 @@ def q_assoc_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_item"))
     )
+    # support is symmetric: count CANONICAL a<b pairs (half the bytes of
+    # the directional build through the dominant near-unique-key
+    # shuffle), filter, THEN mirror into the directional rule form —
+    # ≥-support filtering commutes with mirroring
     pair = (
         baskets.where(F.size("parts") >= 2)
         .select(
             F.explode(
                 F.expr(
                     "flatten(transform(parts, x -> "
-                    "filter(transform(parts, y -> struct(x AS ante, y AS cons)), "
-                    "p -> p.ante <> p.cons)))"
+                    "filter(transform(parts, y -> struct(x AS u, y AS v)), "
+                    "p -> p.u < p.v)))"
                 )
             ).alias("p")
         )
-        .select("p.ante", "p.cons")
-        .groupBy("ante", "cons")
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .where(F.col("support") >= _AR_MIN_SUPPORT)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("ante"),
+                        F.col("v").alias("cons"),
+                        F.col("support"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("ante"),
+                        F.col("u").alias("cons"),
+                        F.col("support"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.ante", "p.cons", "p.support")
     )
     ia = item.select(F.col("l_partkey").alias("ante"), F.col("n_item").alias("n_a"))
     ic = item.select(F.col("l_partkey").alias("cons"), F.col("n_item").alias("n_c"))

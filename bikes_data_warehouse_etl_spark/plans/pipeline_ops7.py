@@ -247,28 +247,35 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules, and the same shape as co-citation or token co-occurrence
     mining on document data).
 
-    Scale: the self-join is on the *basket* key, so fan-out per order
-    is C(items_per_order, 2) — bounded by basket size (~21 pairs for a
-    7-item order), never corpus-quadratic. Both join inputs are the
-    identical (orderkey, partkey) distinct projection, which Spark
-    canonicalizes to one shuffle + ReusedExchange. The pair aggregate
-    shuffles two longs with map-side combine; the HAVING prunes the
-    singleton long tail before any downstream use.
+    Scale: pairs are generated ROW-LOCALLY from per-order part baskets
+    (the `co_order_edges` pattern — one collect_set shuffle on the
+    order key, fan-out ≤ C(items_per_order, 2) ≈ 21 for a 7-item
+    order, never corpus-quadratic; the set dedups repeat parts inside
+    the aggregate). The round-4 formulation (distinct projection +
+    self-join on the order key) paid the distinct shuffle AND a
+    sort-merge join that re-materialized every basket² row through the
+    join operator; the basket build pays one shuffle and emits the a<b
+    half directly. The pair aggregate shuffles two longs; the HAVING
+    prunes the singleton long tail before any downstream use.
     """
-    lp = (
+    baskets = (
         _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = lp.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = lp.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .where(F.size("parts") >= 2)
     )
     return (
-        a.join(b, "ok")
-        .where(F.col("part_a") < F.col("part_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, x -> "
+                    "filter(transform(parts, y -> "
+                    "struct(x AS part_a, y AS part_b)), "
+                    "p -> p.part_a < p.part_b)))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .where(F.col("support") >= 2)

@@ -51,6 +51,25 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- Shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Pre-coalesce shuffle parallelism (AQE plans every shuffle at
+        # this width, then coalesces down to the advisory size). The
+        # local default is the CORE COUNT, same as shuffle.partitions,
+        # and that is a MEASURED choice, not an omission: an
+        # interleaved same-JVM ABBA at sf10 (tools/ab_sf10.py — the
+        # only trustworthy protocol on this host, where cross-run
+        # times for one query swing 92→224 s) showed 256-wide
+        # pre-coalesce LOSING on a single 32-core JVM: the shingle
+        # self-join ran 3× slower (26/37 s at 32 vs 128/89 s at 256)
+        # and nothing won outside noise — in local mode every extra
+        # shuffle partition is pure fan-out cost (more sort runs, more
+        # block fetches through one memory bus) with no extra machine
+        # to recruit. On a REAL cluster set this via env to ~2-4× total
+        # executor cores so heavy shuffles aren't capped at the static
+        # width while AQE still coalesces small stages.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(shuffle_partitions)),
+        )
         # --- Scan sizing: 128 MB splits keep partitions memory-safe ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # --- Arrow for the pandas-UDF extension points ---

@@ -71,6 +71,20 @@ FORBIDDEN["waiting_supplier"] = ["CartesianProduct", "Expand"]
 # the fold form must never regress to materializing the |parts|x|months|
 # spine under a partitioned window (3 spine-scale shuffles at sf10)
 FORBIDDEN["inventory_clamped_balance"] = ["CartesianProduct", "Window"]
+# fuzzy closure is block-local: ONE bucketed union-find pass, never the
+# iterative per-round join+aggregate (3+ edge-scale shuffles at sf10)
+EXPECTATIONS["fuzzy_entity_clusters"] = ["FlatMapGroupsInPandas"]
+FORBIDDEN["fuzzy_entity_clusters"] = ["CartesianProduct"]
+# basket pattern: pairs generated row-locally from collect_set baskets —
+# the fact table must never self-join on the order key again (the
+# rewritten plan has NO join at all; assoc_rules keeps its two
+# item-census joins, so only copurchase pins joinlessness)
+EXPECTATIONS["copurchase_pairs"] = ["Generate explode"]
+FORBIDDEN["copurchase_pairs"] = [
+    "CartesianProduct",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+]
 
 
 def _plan(spark, sf_dir, name: str) -> str:
