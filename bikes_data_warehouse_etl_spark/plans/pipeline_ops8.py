@@ -461,7 +461,7 @@ def q_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure as a DuckDB recursive CTE (the second
     iterative-vs-declarative differential after `neardup_components`).
 
-    Scale — two structural facts collapse the whole computation:
+    Scale: two structural facts collapse the whole computation:
 
     1. The closure is BLOCK-LOCAL. Every fuzzy edge joins on
        (nation, blk) and each customer belongs to exactly ONE block
