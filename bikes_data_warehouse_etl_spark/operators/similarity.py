@@ -27,7 +27,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
-from bikes_data_warehouse_etl_spark.functions.vectors import cosine, sign_lsh_bucket
+from bikes_data_warehouse_etl_spark.functions.vectors import (
+    cosine,
+    dot,
+    norm,
+    sign_lsh_bucket,
+)
 
 
 def _query_lit(query_vec: Sequence[float]):
@@ -238,6 +243,79 @@ def knn_join_bucketed(
             "id_a",
             "id_b",
             F.floor(F.round(cosine("v_a", "v_b"), round_dp) * 10000)
+            .cast("long")
+            .alias("cos_bp"),
+        )
+        .filter(F.col("cos_bp") >= min_cos_bp)
+    )
+
+
+def knn_basket_bucketed(
+    df: DataFrame,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cos_bp: int = 0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Basket form of `knn_join_bucketed` — identical output, no join.
+
+    The join form duplicates every vector once per pair it appears in
+    (bucket size ~b ⇒ each vector crosses the join operator b times:
+    ~30 GB of duplicated arrays at sf10). Here each bucket's vectors
+    are collected ONCE into a sorted basket (one shuffle of |rows|
+    structs) and all C(b, 2) pairs are generated and scored ROW-LOCALLY
+    inside a single codegen'd higher-order expression — the
+    `co_order_edges` basket pattern applied to vectors.
+
+    Float-exactness is preserved by construction, not luck: the
+    per-pair cosine reuses the SAME `dot` fold (left-to-right double
+    accumulation) the join form evaluates, and per-vector norms are
+    computed once per vector BEFORE collecting — the same expression on
+    the same input, so the division sees bitwise-identical operands and
+    the DuckDB oracle keeps hash-matching. `array_sort` on (id, …)
+    structs makes in-basket order ascending by id, so emitted pairs are
+    canonically id_a < id_b like the join's filter.
+
+    Skew note: a pathological hot bucket serializes its C(b, 2) work
+    on one core; the quadratic WORK is inherent to the query's
+    semantics either way, this form just stops paying quadratic BYTES.
+    At extreme scale, split hot buckets by a salt on min_cos-safe
+    sub-keys or cap bucket size like `minhash_candidates.max_bucket`.
+    """
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    ).withColumn("nrm", norm(F.col("v")))
+    baskets = (
+        b.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "v", "nrm"))).alias("m"))
+        .where(F.size("m") >= 2)
+    )
+    m = F.col("m")
+    pair_arr = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.size(m)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.when(
+                        (x["nrm"] > 0) & (y["nrm"] > 0),
+                        dot(x["v"], y["v"]) / (x["nrm"] * y["nrm"]),
+                    ).alias("cos"),
+                ),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.floor(F.round(F.col("p.cos"), round_dp) * 10000)
             .cast("long")
             .alias("cos_bp"),
         )

@@ -29,7 +29,7 @@ from bikes_data_warehouse_etl_spark.operators.dedup import (
 )
 from bikes_data_warehouse_etl_spark.operators.similarity import (
     brute_force_topk,
-    knn_join_bucketed,
+    knn_basket_bucketed,
     lsh_topk,
 )
 from bikes_data_warehouse_etl_spark.plans.synthetic import _q, _t
@@ -568,10 +568,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.30) restricted to
-    shared 12-bit sign-LSH buckets — the bounded self-join that
-    replaces the quadratic all-pairs scan at scale."""
+    shared 12-bit sign-LSH buckets.
+
+    Scale: the BASKET form (`knn_basket_bucketed`) — one shuffle
+    collects each bucket's vectors once; all in-bucket pairs are
+    generated and scored row-locally in a codegen'd higher-order
+    expression. The previous bucketed self-JOIN duplicated every
+    vector per pair (bucket size ~b ⇒ b copies; ~30 GB of array bytes
+    through the join at sf10, exp 1.27 on the scale ladder — the
+    suite's worst). Identical arithmetic (same dot fold, norms
+    computed per vector before collecting), so the oracle hash is
+    unchanged."""
     emb = _t(spark, sf_dir, "embeddings")
-    return knn_join_bucketed(emb, n_bits=12, min_cos_bp=3000)
+    return knn_basket_bucketed(emb, n_bits=12, min_cos_bp=3000)
 
 
 @_q(

@@ -80,6 +80,15 @@ FORBIDDEN["fuzzy_entity_clusters"] = ["CartesianProduct"]
 # rewritten plan has NO join at all; assoc_rules keeps its two
 # item-census joins, so only copurchase pins joinlessness)
 EXPECTATIONS["copurchase_pairs"] = ["Generate explode"]
+# embedding near-dup scores in-bucket pairs row-locally from a sorted
+# basket — vectors must never duplicate through a pair JOIN again
+# (~30 GB of array bytes at sf10)
+EXPECTATIONS["embedding_neardup"] = ["Generate explode"]
+FORBIDDEN["embedding_neardup"] = [
+    "CartesianProduct",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+]
 FORBIDDEN["copurchase_pairs"] = [
     "CartesianProduct",
     "SortMergeJoin",
