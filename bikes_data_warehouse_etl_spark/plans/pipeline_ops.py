@@ -480,26 +480,40 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     content hash) → quality gate (composite score ≥ 0.5, ≥ 20 tokens)
     → deterministic 90/5/5 train/val/test split by a salted id hash.
 
-    Scale shape: ONE shuffle total — the row_number window on the
-    64-bit content hash (full bodies never shuffle; hash-partitioned,
-    and identical-boilerplate hot keys are bounded because ties beyond
-    rank 1 are discarded at the first window sort). Quality scoring and
-    split assignment are row-local expressions AFTER the dedup cut, so
-    they run on the surviving rows only. The split is salted
-    independently of the sampling hash (``smp:`` vs ``split:``) so
-    composing both operators never correlates their decisions.
+    Scale shape: ONE shuffle total, and it is THIN — quality, token
+    count and the content hash are all computed row-locally in the
+    scan stage, the text column is dropped BEFORE the exchange, and
+    the lowest-doc_id survivor per content hash comes from a
+    map-side-combinable ``min_by`` aggregate (partial aggregation
+    keeps one candidate row per hash per mapper, so identical-
+    boilerplate hot keys collapse before they travel). The round-4
+    formulation put a row_number window on the hash FIRST and scored
+    afterwards, which — because the scorer needs ``text`` — silently
+    shuffled every full document body through the exchange and paid a
+    per-partition sort instead of a combinable aggregate (sf10
+    measured 43 s → see PERF.md). Scoring runs on dupes too under
+    this order, but scoring is row-local CPU on the scan while body
+    bytes through a shuffle are the thing that kills at 100 TB. The
+    split is salted independently of the sampling hash (``smp:`` vs
+    ``split:``) so composing both operators never correlates their
+    decisions.
     """
-    d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy(hash64("text")).orderBy("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        hash64("text").alias("h"),
+        quality_score("text").alias("quality"),
+        token_count("text").alias("tok_cnt"),
+    )
     kept = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            "lang",
-            quality_score("text").alias("quality"),
-            token_count("text").alias("tok_cnt"),
+        d.groupBy("h")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "quality", "tok_cnt"),
+                F.col("doc_id"),
+            ).alias("s")
         )
+        .select("s.doc_id", "s.lang", "s.quality", "s.tok_cnt")
     )
     bucket = hash64(
         F.concat(F.lit("split:"), F.col("doc_id").cast("string"))

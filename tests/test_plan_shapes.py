@@ -84,6 +84,11 @@ EXPECTATIONS["copurchase_pairs"] = ["Generate explode"]
 # basket — vectors must never duplicate through a pair JOIN again
 # (~30 GB of array bytes at sf10)
 EXPECTATIONS["embedding_neardup"] = ["Generate explode"]
+# curation dedup is a min_by aggregate on a thin projection with
+# map-side combine (struct min_by lowers to SortAggregate) — a
+# regression to the row_number window re-shuffles full document bodies
+EXPECTATIONS["curated_corpus"] = ["partial_min_by"]
+FORBIDDEN["curated_corpus"] = ["CartesianProduct", "Window"]
 FORBIDDEN["embedding_neardup"] = [
     "CartesianProduct",
     "SortMergeJoin",
