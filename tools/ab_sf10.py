@@ -4,8 +4,10 @@ this box swamps cross-run comparisons (the same query measured 92 s,
 only meaningful ABBA-interleaved inside ONE JVM.
 
 Arm 1 — AQE pre-coalesce width: initialPartitionNum is a runtime SQL
-conf, toggled per run between the core count (the old hard cap) and
-the 8x value session.py now defaults to.
+conf, toggled per run between the core count (session.py's committed
+default — wider-than-cores LOST the earlier ABBA in single-JVM local
+mode) and an explicit 8x value computed here, so the comparison stays
+base-vs-8x even though the session default equals base.
 
 Arm 2 — banded vs unbounded Levenshtein on the fuzzy block join
 (both plans built inline; blocking identical).
@@ -71,7 +73,12 @@ def main() -> int:
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     spark = get_spark("ab_sf10")
     base = spark.conf.get("spark.sql.shuffle.partitions")
-    hi = spark.conf.get(INIT_CONF)
+    # session.py defaults INIT_CONF to shuffle_partitions, so reading it
+    # back would silently measure base-vs-base; compute the wide arm
+    # explicitly and fail fast if the two arms ever coincide.
+    hi = os.environ.get("SPARK_GRAFT_AB_INITIAL", str(8 * int(base)))
+    if hi == base:
+        raise SystemExit("ab_sf10: hi arm equals base — nothing to A/B")
     out: list = []
 
     # JVM warmup outside any timed cell

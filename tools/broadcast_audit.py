@@ -108,7 +108,11 @@ def audit(spark, names=None) -> dict:
                     df = spec.spark(spark, sf_dir)
                     qe = df._jdf.queryExecution()
                     if "BroadcastExchange" not in qe.executedPlan().toString():
-                        break
+                        # record an explicit empty list so a plan whose
+                        # broadcast shape differs across sfs is caught
+                        # below as a count mismatch, not silently skipped
+                        per_sf[sf_dir] = []
+                        continue
                     # execute THIS QueryExecution (df.write would build a
                     # fresh one and leave these metrics unset)
                     qe.toRdd().count()
@@ -118,11 +122,23 @@ def audit(spark, names=None) -> dict:
             except Exception as exc:  # noqa: BLE001 — record, don't abort
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 continue
-            if not per_sf:
-                continue
             small = per_sf.get(SMALL, [])
             large = per_sf.get(LARGE, [])
+            if not small and not large:
+                continue  # no broadcast at either sf — nothing hinted
             verdicts = []
+            if len(small) != len(large):
+                # broadcast shape differs across sfs (e.g. an exchange
+                # present only at SMALL): surface it as a failure so it
+                # is adjudicated, never passed unmeasured
+                verdicts.append(
+                    {
+                        "rows_small": len(small),
+                        "rows_large": len(large),
+                        "ok": False,
+                        "note": "exchange-count mismatch across sfs",
+                    }
+                )
             for i, big in enumerate(large):
                 base = small[i] if i < len(small) else 0
                 ok = big <= ABS_SMALL or (

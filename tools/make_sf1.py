@@ -107,6 +107,16 @@ def main() -> None:
         i = args.index("--replicas")
         N_REPLICAS = int(args[i + 1])
         del args[i : i + 2]
+    # The SCD1 synthetic-insert offset (custkey + 100_000_000 in
+    # plans/synthetic.py) is only disjoint from replicated custkeys
+    # (stride OFF["custkey"] per replica) while N_REPLICAS * stride
+    # stays below it; beyond that "inserts" silently collide with real
+    # keys and become updates, breaking the SCD1 differential.
+    if N_REPLICAS * OFF["custkey"] >= 100_000_000:
+        raise SystemExit(
+            f"make_sf1: --replicas {N_REPLICAS} collides with the SCD1 "
+            f"insert-key offset (max {100_000_000 // OFF['custkey'] - 1})"
+        )
     out_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF1_DIR", "/tmp/sf1"
     )
