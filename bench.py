@@ -40,11 +40,45 @@ from bikes_data_warehouse_etl_spark.plans import QUERIES  # noqa: E402
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+# --- host-speed calibration (round-6) ---------------------------------------
+# The r4→r5 committed baselines differed by a UNIFORM 1.21× (host drift,
+# not plan regressions), which poisons cross-round gating. Each bench run
+# therefore times one fixed pure-CPU, data-independent Spark job — a
+# range scan hashed and summed across all cores, zero input, zero
+# shuffle — and records its median as ``calibration_s``. When a baseline
+# json also carries one, the gates scale that baseline's per-query times
+# by (cal_now / cal_base) before comparing, so only drift RELATIVE to
+# the host's measured speed is flagged. The clamp keeps a pathological
+# calibration sample (GC pause in the cal cell itself) from silently
+# widening the gate by more than 2× either way.
+_CAL_ROWS = 1_000_000_000
+
+
+def run_calibration(spark) -> float:
+    from pyspark.sql import functions as F
+
+    # pmod keeps the running sum < 2e8 * 1e6 « 2^63 (ANSI overflow-safe)
+    df = spark.range(0, _CAL_ROWS, 1, 32).select(
+        F.sum(F.pmod(F.xxhash64("id"), F.lit(1000003))).alias("h")
+    )
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _cal_ratio(cal_now: float | None, parsed: dict) -> float:
+    cal_base = parsed.get("calibration_s")
+    if not cal_now or not cal_base:
+        return 1.0
+    return min(2.0, max(0.5, cal_now / cal_base))
+
+
 def regressions_vs(
     timings: dict[str, float],
     baseline_path: str,
     threshold: float = 1.5,
     sf: float | None = None,
+    cal_now: float | None = None,
 ) -> list[str]:
     """Per-query regression gate vs a prior round's BENCH json.
 
@@ -56,6 +90,8 @@ def regressions_vs(
     different work). When ``sf`` is given and the baseline records a
     DIFFERENT scale factor, the whole comparison is skipped — an sf1
     run gated against sf0.1 medians would flag the entire suite.
+    Baselines carrying ``calibration_s`` are rescaled to this host's
+    measured speed first (see ``run_calibration``).
     """
     shape_changed = {
         # r2 reshaped this query for the bounded-error oracle: it now
@@ -75,13 +111,14 @@ def regressions_vs(
     if sf is not None and base_sf is not None and float(base_sf) != float(sf):
         return []
     base = parsed.get("queries") or {}
+    ratio = _cal_ratio(cal_now, parsed)
     return sorted(
         name
         for name, t in timings.items()
         if name in base
         and name not in shape_changed
-        and t > base[name] * threshold
-        and t - base[name] > 0.5
+        and t > base[name] * ratio * threshold
+        and t - base[name] * ratio > 0.5
     )
 
 
@@ -145,7 +182,10 @@ def main() -> None:
     spark = get_spark("bench")
 
     samples: dict[str, list[float]] = {name: [] for name in QUERIES}
+    cal_samples: list[float] = []
     for _ in range(n_runs):
+        # calibration first in each pass: same JVM state the queries see
+        cal_samples.append(run_calibration(spark))
         for name, spec in QUERIES.items():
             t0 = time.perf_counter()
             df = spec.spark(spark, sf_dir)
@@ -156,13 +196,16 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     total = sum(timings.values())
+    cal_s = round(statistics.median(cal_samples), 3)
 
     cur_sf = float(sf) if sf else None
     r1_baseline = os.environ.get(
         "SPARK_GRAFT_BENCH_BASELINE", os.path.join(REPO, "BENCH_r01.json")
     )
-    regressed_r1 = regressions_vs(timings, r1_baseline, sf=cur_sf)
-    regressed_prev = regressions_vs(timings, latest_bench_json(), sf=cur_sf)
+    regressed_r1 = regressions_vs(timings, r1_baseline, sf=cur_sf, cal_now=cal_s)
+    regressed_prev = regressions_vs(
+        timings, latest_bench_json(), sf=cur_sf, cal_now=cal_s
+    )
     over_budget = over_latency_budget(timings, cur_sf)
 
     print(
@@ -174,6 +217,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf else None,
                 "runs_per_query": n_runs,
+                "calibration_s": cal_s,
                 "regressions_vs_r1": regressed_r1,
                 "regressions_vs_prev": regressed_prev,
                 "latency_budget_s": LATENCY_BUDGET_S,

@@ -72,6 +72,40 @@ def test_none_baseline_is_noop():
     assert regressions_vs({"q": 9.9}, None) == []
 
 
+# --- host-speed calibration (round-6 gate normalization) --------------------
+def _cal_baseline(tmp_path, cal: float | None):
+    doc = {"queries": {"q": 2.0}}
+    if cal is not None:
+        doc["calibration_s"] = cal
+    p = tmp_path / "base.json"
+    p.write_text(json.dumps(doc))
+    return str(p)
+
+
+def test_uniform_host_drift_not_flagged(tmp_path):
+    """1.9x slower query on a host measured 2x slower is drift, not a
+    regression — the r4→r5 false-positive class."""
+    p = _cal_baseline(tmp_path, cal=1.0)
+    assert regressions_vs({"q": 3.8}, p, cal_now=2.0) == []
+
+
+def test_true_regression_still_flagged_after_normalization(tmp_path):
+    p = _cal_baseline(tmp_path, cal=1.0)
+    assert regressions_vs({"q": 4.1}, p, cal_now=1.0) == ["q"]
+
+
+def test_missing_calibration_falls_back_to_raw_compare(tmp_path):
+    p = _cal_baseline(tmp_path, cal=None)
+    assert regressions_vs({"q": 4.1}, p, cal_now=2.0) == ["q"]
+
+
+def test_calibration_ratio_clamped(tmp_path):
+    """A pathological calibration sample can't widen the gate >2x."""
+    p = _cal_baseline(tmp_path, cal=1.0)
+    # 10x 'drift' claim clamps to 2x: 6.5 > 2.0*2*1.5 → still flagged
+    assert regressions_vs({"q": 6.5}, p, cal_now=10.0) == ["q"]
+
+
 # --- absolute latency budget (round-5 gate) ---------------------------------
 def test_budget_flags_born_slow_query_at_sf01():
     assert over_latency_budget({"new_slow": LATENCY_BUDGET_S + 1}, 0.1) == [
