@@ -9,6 +9,8 @@ basis-point similarity, left-to-right double folds).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
@@ -411,6 +413,24 @@ def q_neardup_jaccard_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus-size threshold above which the production LSH path widens its
+# banding. The round-5 sf1 matrix measured the 8x4 residual exactly
+# once (2559/2560, a genuine all-bands miss on a J=0.9166 pair,
+# p ≈ 7e-4); doubling to 16 hashes x 8 two-row bands drops the miss
+# probability to (1-J²)⁸ (≈ 2.8e-4 at the J=0.8 verify threshold,
+# 4e-7 for the pair that actually missed) at exactly 2x signature
+# cost. Below the threshold the narrow config is kept so the gated
+# sf0.001/0.01/0.1 plans (and their bench profile) are unchanged.
+_LSH_FAST_WIDE_DOCS = int(
+    os.environ.get("SPARK_GRAFT_LSH_WIDE_DOCS", "20000")
+)
+
+
+def lsh_fast_params(n_docs: int) -> tuple[int, int]:
+    """(n_hashes, bands) for `lsh_candidates_fast`, by corpus size."""
+    return (16, 8) if n_docs > _LSH_FAST_WIDE_DOCS else (8, 4)
+
+
 @_q("lsh_candidates_fast", _sql_neardup(8000))
 def q_lsh_candidates_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-hash LSH dedup pipeline end-to-end: xxhash64 minhash
@@ -422,32 +442,32 @@ def q_lsh_candidates_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash family — that unverifiable intermediate is no longer emitted).
 
     Recall argument — with its preconditions, which are CHECKED, not
-    assumed: a J=0.8 pair misses all 4 two-row bands with probability
-    (1-J²)⁴ ≈ 1.7 %; J=1 pairs are recovered under any injective hash
-    (identical shingle sets ⇒ identical signatures) *provided no
-    bucket exceeds the max_bucket=50 skew cap* — a dropped boilerplate
-    bucket loses even identical-doc pairs, so the oracle equality is
-    data-dependent. `tests/test_text_dedup.py::
+    assumed: with b two-row bands a pair of Jaccard J misses every band
+    with probability (1-J²)^b; J=1 pairs are recovered under any
+    injective hash (identical shingle sets ⇒ identical signatures)
+    *provided no bucket exceeds the max_bucket=50 skew cap* — a dropped
+    boilerplate bucket loses even identical-doc pairs, so the oracle
+    equality is data-dependent. `tests/test_text_dedup.py::
     test_lsh_candidates_fast_recall_precondition` pins
-    `lsh_dropped_buckets == 0` with these exact LSH parameters at the
-    oracle-checked sfs; empirically recall is exactly 1 at
-    sf0.001/0.01/0.1 (28/25/256 pairs, verified vs the exhaustive
-    exact-Jaccard set). At sf1 the predicted residual materializes,
-    measured: 2559/2560 pairs (recall 0.9996, precision 1, zero
-    dropped buckets) — the one miss is a J=0.9166 pair with a
-    12-shingle doc, i.e. a genuine all-bands miss (~7e-4 for that J),
-    verified by diffing the exhaustive set; CORRECTNESS_local_sf1.json
-    records this query as the single designed-in non-match. At 100 TB, widen to 16 hashes × 8 bands
-    (miss ≈ 2.8e-4) or 1-row bands (miss ≈ (1-J)⁸) if the residual
-    miss rate matters — and keep `lsh_dropped_buckets` in the job as
-    the coverage alert; the verify stage re-scores candidates exactly
-    either way, so precision is always 1."""
+    `lsh_dropped_buckets == 0` with the query's exact LSH parameters at
+    the oracle-checked sfs. Banding is SCALE-AWARE via
+    `lsh_fast_params` (a parquet-footer count, metadata-only): 8
+    hashes x 4 bands up to 20k docs — empirically full recall at
+    sf0.001/0.01/0.1 (28/25/256 pairs vs the exhaustive exact-Jaccard
+    set) — and 16 x 8 above (sf1/sf10 corpora), which recovered the
+    one sf1 pair the narrow config missed in round 5 (J=0.9166,
+    12-shingle doc, p_miss 7e-4 → 4e-7) and re-closed the sf1 matrix
+    at 2560/2560. At 100 TB keep widening by the same rule (1-row
+    bands give miss ≈ (1-J)^(2b)) and keep `lsh_dropped_buckets` in
+    the job as the coverage alert; the verify stage re-scores
+    candidates exactly either way, so precision is always 1."""
     from bikes_data_warehouse_etl_spark.functions.text import hash64_fast
     from bikes_data_warehouse_etl_spark.operators.dedup import minhash_candidates
 
     d = _t(spark, sf_dir, "documents")
+    n_hashes, bands = lsh_fast_params(d.count())
     cand = minhash_candidates(
-        d, n_hashes=8, bands=4, max_bucket=50, hash_fn=hash64_fast
+        d, n_hashes=n_hashes, bands=bands, max_bucket=50, hash_fn=hash64_fast
     )
     return ngram_jaccard_pairs(
         d, threshold=0.8, candidates=cand, hash_fn=hash64_fast

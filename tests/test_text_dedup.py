@@ -147,17 +147,31 @@ def test_lsh_candidates_fast_recall_precondition(spark, sf):
     opaque hash mismatch in the driver gate."""
     from bikes_data_warehouse_etl_spark.functions.text import hash64_fast
     from bikes_data_warehouse_etl_spark.operators.dedup import lsh_dropped_buckets
+    from bikes_data_warehouse_etl_spark.plans.extensions import lsh_fast_params
     from bikes_data_warehouse_etl_spark.sources.parquet import read_table
 
     docs = read_table(spark, sf, "documents")
+    n_hashes, bands = lsh_fast_params(docs.count())
     stats = lsh_dropped_buckets(
-        docs, n_hashes=8, bands=4, max_bucket=50, hash_fn=hash64_fast
+        docs, n_hashes=n_hashes, bands=bands, max_bucket=50, hash_fn=hash64_fast
     ).first()
     assert stats["n_buckets_dropped"] == 0, (
         f"{stats['n_buckets_dropped']} over-cap LSH buckets at {sf} "
         f"({stats['n_docs_affected']} docs): lsh_candidates_fast recall "
         "is no longer exhaustive — raise max_bucket or re-derive the oracle"
     )
+
+
+def test_lsh_fast_params_scale_knob():
+    """Banding widens with corpus size: narrow at the gated sfs (5k
+    docs at sf0.1 — unchanged plans/bench), wide at sf1+ (50k+), where
+    the round-5 residual showed 8x4's miss probability materializing."""
+    from bikes_data_warehouse_etl_spark.plans.extensions import lsh_fast_params
+
+    assert lsh_fast_params(5_000) == (8, 4)
+    assert lsh_fast_params(20_000) == (8, 4)
+    assert lsh_fast_params(50_000) == (16, 8)
+    assert lsh_fast_params(500_000) == (16, 8)
 
 
 def test_exact_dedup_shuffle_key_is_hash_not_text(spark):
