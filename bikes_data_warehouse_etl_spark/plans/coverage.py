@@ -354,6 +354,107 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_FUZZY_STATS = f"""
+    WITH blocked AS (
+        SELECT c_custkey, c_name, c_nationkey AS nk,
+               substr(c_name, 17 - {_SQL_BLOCK_W}, {_SQL_BLOCK_W}) AS blk
+        FROM customer),
+    sizes AS (
+        SELECT nk, blk, CAST(COUNT(*) AS BIGINT) AS n_names
+        FROM blocked GROUP BY nk, blk),
+    dist AS (
+        SELECT a.nk, a.blk,
+               levenshtein(a.c_name, b.c_name) AS ed
+        FROM blocked a JOIN blocked b
+          ON a.nk = b.nk AND a.blk = b.blk AND a.c_custkey < b.c_custkey),
+    agg AS (
+        SELECT nk, blk,
+               CAST(COUNT(*) AS BIGINT) AS n_cand_pairs,
+               CAST(SUM(CASE WHEN ed <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matched,
+               CAST(SUM(CASE WHEN ed = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_d0,
+               CAST(SUM(CASE WHEN ed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+               CAST(SUM(CASE WHEN ed = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+               CAST(SUM(CASE WHEN ed = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3
+        FROM dist GROUP BY nk, blk)
+    SELECT CAST(s.nk AS BIGINT) AS nk, s.blk, s.n_names,
+           COALESCE(a.n_cand_pairs, 0) AS n_cand_pairs,
+           COALESCE(a.n_matched, 0) AS n_matched,
+           COALESCE(a.n_d0, 0) AS n_d0, COALESCE(a.n_d1, 0) AS n_d1,
+           COALESCE(a.n_d2, 0) AS n_d2, COALESCE(a.n_d3, 0) AS n_d3
+    FROM sizes s LEFT JOIN agg a ON s.nk = a.nk AND s.blk = a.blk
+    """
+
+
+@_q("fuzzy_match_stats", _SQL_FUZZY_STATS)
+def q_fuzzy_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate reporting twin of `fuzzy_name_pairs`: per (nation,
+    block) candidate-pair counts and an edit-distance histogram
+    (d0..d3) instead of the pair list itself.
+
+    At sf10 every one of the ~372M in-block candidate pairs genuinely
+    passes lev ≤ 3, so the pair-emitting form's 79 s is OUTPUT volume,
+    not plan waste — and at 100 TB a 372M-row-per-sf10-shard edge list
+    is only wanted by pipelines that consume edges (entity clustering).
+    Monitoring and match-quality dashboards want THIS query: identical
+    blocking and scoring, but the per-block histogram aggregates
+    map-side (block key is already the join key, so the agg adds no
+    extra exchange of pair rows) and the output is block-count-sized
+    (~40k rows at sf10, constant per block at any scale). Blocks with a
+    single name emit zero-pair rows via the left join from the
+    name-count side so coverage gaps are visible, not silently absent.
+    The banded `levenshtein(a, b, 3)` serves the histogram directly:
+    within the threshold it returns the EXACT distance (only past-
+    threshold pairs collapse to -1, and those fall in no bucket), so
+    the O(k·n)-per-pair band replaces the full O(n²) DP with identical
+    bucket counts — the full-DP oracle hash-matches.
+    """
+    names = fuzzy_blocked_names(spark, sf_dir)
+    sizes = names.groupBy(
+        F.col("c_nationkey").alias("nk"), "blk"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_names"))
+    a = names.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+        "blk",
+    )
+    b = names.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+        "blk",
+    )
+    ed = F.levenshtein("name_a", "name_b", 3)
+    agg = (
+        a.join(b, ["nk", "blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("ed", ed)
+        .groupBy("nk", "blk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand_pairs"),
+            F.sum(F.when(F.col("ed") >= 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+            *[
+                F.sum(F.when(F.col("ed") == d, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_d{d}")
+                for d in range(4)
+            ],
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return sizes.join(agg, ["nk", "blk"], "left").select(
+        F.col("nk").cast("long").alias("nk"),
+        "blk",
+        "n_names",
+        F.coalesce("n_cand_pairs", zero).alias("n_cand_pairs"),
+        F.coalesce("n_matched", zero).alias("n_matched"),
+        *[F.coalesce(f"n_d{d}", zero).alias(f"n_d{d}") for d in range(4)],
+    )
+
+
 @_q(
     "revenue_by_region_quarter",
     """
