@@ -756,3 +756,26 @@ def test_pagerank_edges_materialized_once(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pagerank_suppliers")
     assert "Scan ExistingRDD" in plan
     assert plan.count("Exchange hashpartitioning") <= 8
+
+
+def test_assoc_rules_checkpoint_is_lazy(spark, sf_dir):
+    """The basket frame feeds three consumers via a LAZY localCheckpoint
+    (`assoc_rules_topk`): an eager checkpoint materializes the
+    fact-scale collect_set shuffle at BUILD time even when the caller
+    only wants .explain(), and the round-6 sf10 ABBA measured
+    lazy-vs-eager runtime indistinguishable under host noise (lazy
+    19-128 s, eager 16-40 s interleaved in one JVM — the bimodality
+    tracked external load, not the checkpoint lifecycle, see PERF.md
+    round-6), so lazy wins on build-time semantics alone. Pin the
+    eager=False call in the source AND the checkpoint scan in the plan
+    (the plan cannot distinguish the two lifecycles)."""
+    import inspect
+
+    from bikes_data_warehouse_etl_spark.plans.pipeline_ops30 import (
+        q_assoc_rules_topk,
+    )
+
+    src = inspect.getsource(q_assoc_rules_topk)
+    assert "localCheckpoint(eager=False)" in src
+    plan = _plan(spark, sf_dir, "assoc_rules_topk")
+    assert "Scan ExistingRDD" in plan
