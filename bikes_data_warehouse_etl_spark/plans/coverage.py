@@ -392,8 +392,8 @@ def q_fuzzy_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     block) candidate-pair counts and an edit-distance histogram
     (d0..d3) instead of the pair list itself.
 
-    At sf10 every one of the ~372M in-block candidate pairs genuinely
-    passes lev ≤ 3, so the pair-emitting form's 79 s is OUTPUT volume,
+    Scale: at sf10 every one of the ~372M in-block candidate pairs
+    genuinely passes lev ≤ 3, so the pair-emitting form's 79 s is OUTPUT volume,
     not plan waste — and at 100 TB a 372M-row-per-sf10-shard edge list
     is only wanted by pipelines that consume edges (entity clustering).
     Monitoring and match-quality dashboards want THIS query: identical
