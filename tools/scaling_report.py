@@ -5,6 +5,14 @@ checked-in number instead of a docstring claim.
 Usage:
     python tools/scaling_report.py SF01_JSON SF1_JSON SF10_JSON [out_md]
 
+Each positional argument may be a COMMA-SEPARATED list of artifacts
+for that rung; the per-query time is the MINIMUM across them.
+External host contention on this box is strictly ADDITIVE (the same
+query measured 29.8 s and 122.0 s back-to-back in one JVM at load
+average 27), so the min over repeated sweeps is the consistent
+estimator of plan cost — a single-shot sweep inherits whatever
+noise window each query happened to land in.
+
 Inputs are ``tools/run_suite.py`` artifacts (or a ``bench.py`` /
 driver BENCH json for the sf0.1 column — both carry ``queries``).
 Data volume steps 10x between adjacent rungs, so the fitted exponent
@@ -28,19 +36,23 @@ FLAG_EXPONENT = 1.30  # >10^1.3 ~ 20x wall per 10x data
 FLAG_SECS = 20.0  # ignore exponent noise below this absolute sf10 time
 
 
-def load_times(path: str) -> dict[str, float]:
-    with open(path) as f:
-        doc = json.load(f)
-    doc = doc.get("parsed") or doc
-    qs = doc.get("queries") or {}
+def load_times(paths: str) -> dict[str, float]:
+    """Per-query seconds; ``paths`` may be comma-separated — the
+    reported time is then the per-query MIN across the artifacts."""
     out: dict[str, float] = {}
-    for name, v in qs.items():
-        if isinstance(v, dict):
-            if "error" in v:
-                continue
-            v = v.get("s")
-        if v is not None:
-            out[name] = float(v)
+    for path in paths.split(","):
+        with open(path) as f:
+            doc = json.load(f)
+        doc = doc.get("parsed") or doc
+        qs = doc.get("queries") or {}
+        for name, v in qs.items():
+            if isinstance(v, dict):
+                if "error" in v:
+                    continue
+                v = v.get("s")
+            if v is not None:
+                v = float(v)
+                out[name] = min(out.get(name, v), v)
     return out
 
 
@@ -72,10 +84,17 @@ def main() -> int:
     def fmt(v, nd=2):
         return f"{v:.{nd}f}" if v is not None else "—"
 
+    n_runs = [len(a.split(",")) for a in sys.argv[1:4]]
+    shots = (
+        "single-shot"
+        if max(n_runs) == 1
+        else f"min over {'/'.join(str(n) for n in n_runs)} sweeps — host "
+        "contention is additive, so the min estimates plan cost"
+    )
     lines = [
         "# SCALING — per-query wall time across a 100x data ladder",
         "",
-        f"Columns: seconds at sf0.1 / sf1 / sf10 (single-shot, {len(rows)}",
+        f"Columns: seconds at sf0.1 / sf1 / sf10 ({shots}, {len(rows)}",
         "queries), `exp` = log10(t_sf10/t_sf1) — the scaling exponent over",
         "the last 10x step (1.0 = linear). Flag rule: exp > "
         f"{FLAG_EXPONENT} AND sf10 > {FLAG_SECS:.0f}s.",
