@@ -109,13 +109,17 @@ def main() -> None:
         del args[i : i + 2]
     # The SCD1 synthetic-insert offset (custkey + 100_000_000 in
     # plans/synthetic.py) is only disjoint from replicated custkeys
-    # (stride OFF["custkey"] per replica) while N_REPLICAS * stride
-    # stays below it; beyond that "inserts" silently collide with real
-    # keys and become updates, breaking the SCD1 differential.
-    if N_REPLICAS * OFF["custkey"] >= 100_000_000:
+    # while the LARGEST replica offset, (N_REPLICAS - 1) * stride,
+    # plus the source's max custkey (< one stride) stays below it —
+    # i.e. N_REPLICAS * stride <= 100_000_000. Beyond that "inserts"
+    # silently collide with real keys and become updates, breaking
+    # the SCD1 differential. Replica indices are 0-based: N replicas
+    # use offsets 0..(N-1) * stride, so N = 100 (sf10) is the exact
+    # safe maximum, not the first colliding value.
+    if N_REPLICAS * OFF["custkey"] > 100_000_000:
         raise SystemExit(
             f"make_sf1: --replicas {N_REPLICAS} collides with the SCD1 "
-            f"insert-key offset (max {100_000_000 // OFF['custkey'] - 1})"
+            f"insert-key offset (max {100_000_000 // OFF['custkey']})"
         )
     out_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF1_DIR", "/tmp/sf1"
