@@ -81,7 +81,28 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Quiet the UI in test/bench loops
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Heap for the single local JVM. 8g was the round-1 default and
+        # became the binding ROBUSTNESS constraint at sf10: 32
+        # concurrent tasks share the heap (~250 MB/task), and a
+        # round-6 sf10 sweep died with a hard OutOfMemoryError on the
+        # graph family (accrued localCheckpoint blocks + a 34-way
+        # sort), after GCLocker allocation stalls throughout. 16g
+        # (~500 MB/task) completes the same sweep. Chosen for the OOM
+        # margin, NOT speed: an interleaved 8g/16g/32g timing A/B on
+        # this host was noise-dominated (same query 50/180/41 s across
+        # arms — PERF.md round 6), and 32g showed kernel-side page
+        # churn (77% system time) with no reliable win. On a real
+        # cluster this knob is irrelevant: spark-submit sets executor
+        # memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # The oracle differential gate collects whole result sets
+        # (toPandas) — multi-million-row outputs at sf1+ exceed the 1g
+        # default; 4g admits the legitimate big collects while still
+        # capping a runaway one.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
