@@ -99,6 +99,21 @@ FORBIDDEN["copurchase_pairs"] = [
     "SortMergeJoin",
     "BroadcastHashJoin",
 ]
+# round-6 span census: the global-frequency step is a window over the
+# REDUCED per-(doc,span) counts — the dup-set+join-back form re-ran
+# the tokenize/explode scan once per consumer (measured 2x at every
+# sf) and would reappear as a join in the plan
+EXPECTATIONS["dup_span_fraction"] = ["Generate explode", "Window"]
+FORBIDDEN["dup_span_fraction"] = [
+    "CartesianProduct",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+]
+# round-6 semantic dedup: candidate pairs come from the basket form
+# (row-local in-bucket pair generation) — vectors must never duplicate
+# through a pair SortMergeJoin; the only joins are the 3-row tau frame
+EXPECTATIONS["semantic_dedup_curve"] = ["Generate explode"]
+FORBIDDEN["semantic_dedup_curve"] = ["CartesianProduct", "SortMergeJoin"]
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -779,3 +794,15 @@ def test_assoc_rules_checkpoint_is_lazy(spark, sf_dir):
     assert "localCheckpoint(eager=False)" in src
     plan = _plan(spark, sf_dir, "assoc_rules_topk")
     assert "Scan ExistingRDD" in plan
+
+
+def test_dup_span_census_single_document_scan(spark, sf_dir):
+    """The 8-gram duplication census must read documents EXACTLY once:
+    the dup-set + join-back formulation evaluated the tokenize +
+    span-explode scan once per consumer (measured 2x the runtime at
+    every sf — PERF.md round 6). Four thin exchanges max: per-(doc,
+    span) combine, span-frequency window, per-doc rollup, per-source
+    rollup."""
+    plan = _plan(spark, sf_dir, "dup_span_fraction")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 4
