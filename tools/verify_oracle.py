@@ -108,6 +108,11 @@ def main() -> int:
 
     spark = get_spark("verify-oracle")
     con = duckdb.connect()
+    # cap DuckDB's memory when several verify workers share the box
+    # (default is 80% of RAM *per process*)
+    duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if duck_mem:
+        con.execute(f"SET memory_limit='{duck_mem}'")
     for t in TABLES:
         # driver testdata is single-file parquet; Spark-written sets
         # (tools/make_sf1.py) are directories of part files — DuckDB
