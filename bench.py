@@ -215,24 +215,36 @@ def main() -> None:
     )
     over_budget = over_latency_budget(timings, cur_sf)
 
-    print(
-        json.dumps(
-            {
-                "metric": "synthetic_query_suite_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "runs_per_query": n_runs,
-                "calibration_s": cal_s,
-                "regressions_vs_r1": regressed_r1,
-                "regressions_vs_prev": regressed_prev,
-                "latency_budget_s": LATENCY_BUDGET_S,
-                "latency_exceptions": LATENCY_EXCEPTIONS,
-                "over_latency_budget": over_budget,
-            }
-        )
-    )
+    payload = {
+        "metric": "synthetic_query_suite_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "runs_per_query": n_runs,
+        "calibration_s": cal_s,
+        "regressions_vs_r1": regressed_r1,
+        "regressions_vs_prev": regressed_prev,
+        "latency_budget_s": LATENCY_BUDGET_S,
+        "latency_exceptions": LATENCY_EXCEPTIONS,
+        "over_latency_budget": over_budget,
+    }
+    # The driver's stdout capture keeps only the LAST ~2000 chars of the
+    # line; at 300+ queries the per-query map alone exceeds that, so
+    # BENCH_r02..r05 all carry "parsed": null. The printed line stays the
+    # contract (summary fields deliberately LAST in the object so a tail
+    # capture still shows them); the full machine-readable payload is
+    # additionally written to BENCH_latest_full.json for the record.
+    # NOT named BENCH_r*.json / BENCH_local.json on purpose: it must
+    # never be picked up as a regression baseline (a file overwritten by
+    # every run would gate each run against itself).
+    try:
+        with open(os.path.join(REPO, "BENCH_latest_full.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the printed line is still the contract
+    print(json.dumps(payload))
     # strict mode (local/CI use): non-zero exit on any per-query regression
     # or absolute-budget breach
     if (regressed_r1 or regressed_prev or over_budget) and os.environ.get(

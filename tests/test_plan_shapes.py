@@ -114,6 +114,17 @@ FORBIDDEN["dup_span_fraction"] = [
 # through a pair SortMergeJoin; the only joins are the 3-row tau frame
 EXPECTATIONS["semantic_dedup_curve"] = ["Generate explode"]
 FORBIDDEN["semantic_dedup_curve"] = ["CartesianProduct", "SortMergeJoin"]
+# round-6 bloom decontam: the benchmark side must reach the corpus as
+# a PACKED BITMAP (shiftleft/bit_or build, shiftright probe through a
+# broadcast) and the kept set must stay an anti join — a regression to
+# broadcasting the exact shingle set would drop the shift expressions
+EXPECTATIONS["bloom_decontam_keep"] = [
+    "shiftleft",
+    "shiftright",
+    "bit_or",
+    "LeftAnti",
+]
+FORBIDDEN["bloom_decontam_keep"] = ["CartesianProduct"]
 
 
 def _plan(spark, sf_dir, name: str) -> str:
