@@ -265,47 +265,64 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) document fingerprints, Schleimer et al.:
     the minimum hash of every 4-window over the char-8-gram hash
-    sequence, deduplicated. Computed explode-wise — one hash per k-gram,
-    window MIN over (doc, position) — linear in characters (the
-    array-expression form re-evaluates the normalize regex per element:
-    O(n^2) per doc, measured 30x slower). Summarized (count, min, max)
-    per doc.
+    sequence, deduplicated. Summarized (count, min, max) per doc.
 
-    The k-gram count per doc is length(s) - 7 BY CONSTRUCTION, so the
-    incomplete-trailing-window filter uses that arithmetic instead of a
-    second COUNT window — one WindowExec pass over the k-gram stream,
-    not two (measured ~25% of this query's time at sf0.1)."""
+    Entirely ROW-LOCAL (round-6 rewrite): the k-gram hash array is
+    materialized once per document behind a Generate boundary —
+    ``explode(array(transform(...)))`` — because ProjectCollapsing
+    would otherwise inline the per-position md5 transform into every
+    window slice, re-evaluating it O(n) times per position (the same
+    O(n^2) trap the original explode form existed to avoid, measured
+    30x). Window minima are then 4-wide ``slice``/``array_min`` reads
+    of that bound array, and the distinct/count/min/max all collapse to
+    array expressions.
+
+    Scale: ZERO shuffles at production split counts — the previous
+    shape paid a doc-partitioned sort window over one row per CHARACTER
+    plus a distinct and a groupBy exchange (~50M exploded rows, ~1.6 GB
+    on the wire at sf0.1); this one streams documents through a single
+    projection, so parallelism = input splits. ``widen_scan`` adds a
+    text-sized round-robin exchange ONLY when splits < cores (the
+    single-file testdata pins a shuffle-free plan to one core; at scale
+    it is a no-op and the plan stays exchange-free). Per-doc arrays are
+    n_chars longs (≲ tens of KB) — far under any row-size concern."""
     from bikes_data_warehouse_etl_spark.functions.text import hash64, normalize_text
+    from bikes_data_warehouse_etl_spark.sources.parquet import widen_scan
 
     d = _t(spark, sf_dir, "documents")
-    norm = d.select("doc_id", normalize_text("text").alias("s")).filter(
-        F.length("s") >= 8
-    )
-    kg = norm.select(
+    norm = widen_scan(d.select("doc_id", "text"), spark).select(
+        "doc_id", normalize_text("text").alias("s")
+    ).filter(F.length("s") >= 8)
+    hs = norm.select(
         "doc_id",
-        (F.length("s") - 7).alias("n_kg"),
-        F.explode(F.sequence(F.lit(1), F.length("s") - 7)).alias("i"),
-        "s",
-    ).select(
-        "doc_id",
-        "i",
-        "n_kg",
-        hash64(F.col("s").substr(F.col("i"), F.lit(8))).alias("h"),
+        F.explode(
+            F.array(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s") - 7),
+                    lambda i: hash64(F.col("s").substr(i, F.lit(8))),
+                )
+            )
+        ).alias("hs"),
     )
-    w = Window.partitionBy("doc_id").orderBy("i")
-    wins = kg.select(
+    # sequence(1, n) steps DOWNWARD when n < 1 — guard short docs
+    # (fewer than 4 k-grams have no complete window and emit no row)
+    fps = hs.select(
         "doc_id",
-        "i",
-        "n_kg",
-        F.min("h").over(w.rowsBetween(0, 3)).alias("wmin"),
-    )
-    fps = wins.filter(F.col("i") <= F.col("n_kg") - 3).select(
-        "doc_id", "wmin"
-    ).distinct()
-    return fps.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fps"),
-        F.min("wmin").alias("min_fp"),
-        F.max("wmin").alias("max_fp"),
+        F.array_distinct(
+            F.transform(
+                F.when(
+                    F.size("hs") >= 4,
+                    F.sequence(F.lit(1), F.size("hs") - 3),
+                ).otherwise(F.expr("array()").cast("array<int>")),
+                lambda j: F.array_min(F.slice("hs", j, 4)),
+            )
+        ).alias("fps"),
+    ).filter(F.size("fps") > 0)
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
     )
 
 

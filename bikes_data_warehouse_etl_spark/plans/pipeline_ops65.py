@@ -91,11 +91,18 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     census tolerates xxhash64's ~2^-64 pairwise collision odds).
     Document text itself never shuffles, and nothing is quadratic:
     work is linear in total token count at any corpus size, the same
-    budget tokenization itself costs.
+    budget tokenization itself costs. ``widen_scan`` lifts the
+    tokenize+explode stage off the single split the small testdata
+    file provides (one core did 100% of the 8-gram build; measured
+    ~5.2 s of this query's sf0.1 floor) and is a no-op at production
+    split counts, keeping the scan stage exchange-free at scale.
     """
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", tokens(F.col("text")).alias("tk")
-    )
+    from bikes_data_warehouse_etl_spark.sources.parquet import widen_scan
+
+    d = widen_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        spark,
+    ).select("doc_id", "source", tokens(F.col("text")).alias("tk"))
     sh = d.select(
         "doc_id",
         "source",

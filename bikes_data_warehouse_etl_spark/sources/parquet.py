@@ -107,3 +107,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose every table as a temp view so queries also run as pure SQL."""
     for t in TABLES:
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+def widen_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition a scan ONLY when it has fewer input
+    splits than the cluster has cores.
+
+    Row-local-heavy plans (per-char md5 fingerprinting, span censuses)
+    have no shuffle at all, so their parallelism equals the number of
+    file splits. At production scale that is thousands of splits and
+    this helper is an audited NO-OP — ``df`` is returned untouched, no
+    exchange enters the plan. On a single small parquet file (the
+    sf0.1 testdata's ~10 MB documents table → one split) the same plan
+    is pinned to one core while 31 idle; shipping the pre-compute rows
+    once (~the file's size, orders of magnitude below what the
+    compute-then-shuffle alternative moves) buys full-width execution.
+
+    The split count comes from compiling the scan's RDD lineage — no
+    job runs. Callers apply this BEFORE the expensive projection, on
+    the thinnest column set they need.
+    """
+    n_splits = df.rdd.getNumPartitions()
+    n_cores = spark.sparkContext.defaultParallelism
+    if n_splits >= n_cores:
+        return df
+    return df.repartition(n_cores)

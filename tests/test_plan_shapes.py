@@ -807,6 +807,21 @@ def test_assoc_rules_checkpoint_is_lazy(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
 
 
+def test_winnowing_is_row_local(spark, sf_dir):
+    """Winnowing fingerprints are per-document array expressions behind
+    ONE Generate boundary (round-6 rewrite): no doc-partitioned sort
+    window, no distinct/groupBy hash exchange — the only permissible
+    exchange is widen_scan's round-robin split-widener. The Generate
+    boundary itself is load-bearing: without it ProjectCollapsing
+    inlines the per-position md5 transform into every 4-window slice
+    (O(n^2) per doc, measured 30x)."""
+    plan = _plan(spark, sf_dir, "winnowing_fps")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "Generate explode" in plan
+    assert "array_min" in plan and "array_distinct" in plan
+
+
 def test_dup_span_census_single_document_scan(spark, sf_dir):
     """The 8-gram duplication census must read documents EXACTLY once:
     the dup-set + join-back formulation evaluated the tokenize +
