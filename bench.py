@@ -135,12 +135,12 @@ LATENCY_EXCEPTIONS: dict[str, float] = {
     # ×32 resample fan-out before the partial agg — cost IS the design
     # (pipeline_ops32.py: per-row Poisson replicates, map-side combined)
     "poisson_bootstrap_ci": 8.0,
-    # single-pass 8-gram census (pipeline_ops65.py): ~5.2 s warm at
-    # sf0.1 is the tokenize + span-explode floor on the local file's
-    # ONE split (the sf0.1 documents parquet is a single ~10 MB file,
-    # so the scan stage runs on one core; at scale file splits give
-    # the parallelism). Measured A/B: string-concat vs arrays_zip
-    # struct spans tie at ~5.2 s — the span build is not the term.
+    # single-pass 8-gram census (pipeline_ops65.py): widen_scan now
+    # lifts the tokenize+explode stage off the testdata's single split,
+    # but the quiet warm median is still ~4.9 s — the span-frequency
+    # window + rollup shuffles are the remaining floor, too close to
+    # the 5 s budget to trust under host noise. Measured A/Bs:
+    # string-concat vs arrays_zip spans tie; dup-set+join-back is 2x.
     "dup_span_fraction": 8.0,
 }
 

@@ -36,34 +36,58 @@ FLAG_EXPONENT = 1.30  # >10^1.3 ~ 20x wall per 10x data
 FLAG_SECS = 20.0  # ignore exponent noise below this absolute sf10 time
 
 
-def load_times(paths: str) -> dict[str, float]:
+def load_times(paths: str, supersede: set[str] | None = None) -> dict[str, float]:
     """Per-query seconds; ``paths`` may be comma-separated — the
-    reported time is then the per-query MIN across the artifacts."""
+    reported time is then the per-query MIN across the artifacts.
+
+    A ``;`` splits the list into OLD and FRESH artifacts: queries in
+    ``supersede`` take their min over the FRESH files only (everything
+    else mins over all files, fresh included). Use for queries whose
+    plan was rewritten mid-round — a min across old-plan and new-plan
+    sweeps would attribute the faster measurement to whichever plan
+    happened to win the noise, which is not a statement about the
+    shipping code."""
+    old_part, _, fresh_part = paths.partition(";")
     out: dict[str, float] = {}
-    for path in paths.split(","):
-        with open(path) as f:
-            doc = json.load(f)
-        doc = doc.get("parsed") or doc
-        qs = doc.get("queries") or {}
-        for name, v in qs.items():
-            if isinstance(v, dict):
-                if "error" in v:
+    for part, is_fresh in ((old_part, False), (fresh_part, True)):
+        if not part:
+            continue
+        for path in part.split(","):
+            with open(path) as f:
+                doc = json.load(f)
+            doc = doc.get("parsed") or doc
+            qs = doc.get("queries") or {}
+            for name, v in qs.items():
+                if isinstance(v, dict):
+                    if "error" in v:
+                        continue
+                    v = v.get("s")
+                if v is None:
                     continue
-                v = v.get("s")
-            if v is not None:
+                if supersede and name in supersede and not is_fresh:
+                    continue  # old-plan measurement of a rewritten query
                 v = float(v)
                 out[name] = min(out.get(name, v), v)
     return out
 
 
 def main() -> int:
-    if len(sys.argv) < 4:
+    args = sys.argv[1:]
+    supersede: set[str] = set()
+    if "--supersede" in args:
+        # --supersede a,b: these queries' plans were rewritten after
+        # the main sweeps; their times come only from artifacts listed
+        # after the ';' in each rung's list (see load_times)
+        i = args.index("--supersede")
+        supersede = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    if len(args) < 3:
         print(__doc__)
         return 2
-    t01 = load_times(sys.argv[1])
-    t1 = load_times(sys.argv[2])
-    t10 = load_times(sys.argv[3])
-    out_md = sys.argv[4] if len(sys.argv) > 4 else "SCALING.md"
+    t01 = load_times(args[0], supersede)
+    t1 = load_times(args[1], supersede)
+    t10 = load_times(args[2], supersede)
+    out_md = args[3] if len(args) > 3 else "SCALING.md"
 
     rows = []
     for name in sorted(set(t01) | set(t1) | set(t10)):
@@ -84,7 +108,7 @@ def main() -> int:
     def fmt(v, nd=2):
         return f"{v:.{nd}f}" if v is not None else "—"
 
-    n_runs = [len(a.split(",")) for a in sys.argv[1:4]]
+    n_runs = [len(a.replace(";", ",").split(",")) for a in args[0:3]]
     shots = (
         "single-shot"
         if max(n_runs) == 1
