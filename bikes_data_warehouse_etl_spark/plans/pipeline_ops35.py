@@ -268,10 +268,20 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the C(n,2) pair join runs on the CALENDAR-BOUNDED day
     domain (~2.4k days → ~3M integer slopes; a century is ~670M —
-    still day-domain, never fact-domain), and the median ranks a
-    column of longs. Fact volume only prices the initial rollup. For
-    per-key trends, partition both the pair join and the rank window
-    by the series key.
+    still day-domain, never fact-domain). The lower median is a
+    DISTRIBUTED exact ``percentile`` at the computed rank, not a global
+    ``row_number`` window — ``Window.orderBy`` without a partition key
+    moves every slope into ONE task (3M rows here, 670M for a century:
+    dead at scale), while percentile merges per-partition value→count
+    maps. The rank fraction needs n_pairs up front, which is pure
+    arithmetic on n_days: the day rollup is localCheckpoint'd (lazy),
+    so the driver-side count materializes the ~2.4k-row day table once
+    and the pair join reuses it — exactly one fact pass (the
+    assoc_rules_topk precedent; the collect is day-domain-bounded).
+    (n-1)·q lands on an integer by construction, so percentile returns
+    the element itself — no interpolation; slopes stay < 2^53 so the
+    double round-trip is exact. For per-key trends, partition both the
+    pair join and the percentile by the series key.
     """
     daily = (
         _t(spark, sf_dir, "orders")
@@ -286,11 +296,21 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS LONG)"
             ).alias("kc")
         )
+        .localCheckpoint(eager=False)
     )
+    n_days = daily.count()
+    n_pairs = n_days * (n_days - 1) // 2
     a = daily.select(F.col("day").alias("d_a"), F.col("kc").alias("kc_a"))
-    b = daily.select(F.col("day").alias("d_b"), F.col("kc").alias("kc_b"))
+    # the non-equi pair join is a nested loop: parallelism = STREAM-side
+    # partitions, and AQE coalesces the 2.4k-row day table to ONE
+    # (user-specified repartition counts are exempt from coalescing) —
+    # without this the C(n,2) generation AND the percentile partials
+    # all run in a single task
+    b = daily.select(
+        F.col("day").alias("d_b"), F.col("kc").alias("kc_b")
+    ).repartition(spark.sparkContext.defaultParallelism)
     slopes = (
-        a.join(b, F.col("d_b") > F.col("d_a"))
+        b.join(F.broadcast(a), F.col("d_b") > F.col("d_a"))
         .select(
             F.expr(
                 "CAST("
@@ -299,23 +319,20 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s")
         )
     )
-    n = slopes.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
-    ranked = slopes.crossJoin(F.broadcast(n)).select(
-        "s",
-        "n",
-        F.row_number().over(Window.orderBy("s")).cast("long").alias("r"),
-    )
-    med = (
-        ranked.where(
-            (2 * F.col("r") == F.col("n") + F.col("n") % 2)
-            & (F.col("r") <= (F.col("n") + 1) / 2)
-        )
-        .orderBy("s")
-        .limit(1)
-    )
-    return nd.crossJoin(F.broadcast(med)).select(
-        "n_days",
-        F.col("n").alias("n_pairs"),
-        F.col("s").cast("long").alias("theil_sen_milli_kc_per_day"),
+    if n_pairs == 0:
+        # degenerate series (<2 days): the rank filter finds no row —
+        # keep the empty-result contract and the 3-column schema
+        return slopes.select(
+            F.lit(None).cast("long").alias("n_days"),
+            F.lit(None).cast("long").alias("n_pairs"),
+            F.col("s").alias("theil_sen_milli_kc_per_day"),
+        ).limit(0)
+    rank = (n_pairs + 1) // 2  # lower median, 1-based
+    q = 0.0 if n_pairs == 1 else (rank - 1) / (n_pairs - 1)
+    return slopes.agg(
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        F.percentile("s", F.lit(q))
+        .cast("long")
+        .alias("theil_sen_milli_kc_per_day"),
     )

@@ -826,6 +826,20 @@ def test_winnowing_is_row_local(spark, sf_dir):
     assert "slice(" not in plan
 
 
+def test_theil_sen_distributed_median(spark, sf_dir):
+    """The lower median of the C(n,2) slopes must stay a DISTRIBUTED
+    exact percentile over the parallel nested-loop pair stream — a
+    regression to the global row_number form funnels every slope into
+    one task (Window.orderBy without partitionBy = single-partition
+    exchange; 670M rows for a century of days)."""
+    plan = _plan(spark, sf_dir, "theil_sen_trend")
+    assert "percentile" in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # the day rollup materializes once (checkpoint), not once per branch
+    assert "Scan ExistingRDD" in plan
+
+
 def test_dup_span_census_single_document_scan(spark, sf_dir):
     """The 8-gram duplication census must read documents EXACTLY once:
     the dup-set + join-back formulation evaluated the tokenize +
