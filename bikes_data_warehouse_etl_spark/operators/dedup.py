@@ -78,9 +78,17 @@ def _exploded_shingles(
     the shifted slices, it survives CollapseProject) so the tokenize
     regexes run once per row, not once per slice — measured 10x on the
     signature stage at sf0.1."""
-    tokd = df.select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("__toks__")
+    from bikes_data_warehouse_etl_spark.sources.parquet import widen_scan
+
+    # tokenize+shingle is the CPU-heavy stage of every minhash/LSH/
+    # jaccard query and runs at scan parallelism — widen_scan lifts it
+    # off the testdata's single file split (no-op at production split
+    # counts; see its docstring)
+    wide = widen_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__")),
+        df.sparkSession,
     )
+    tokd = wide.select("id", tokens("__text__").alias("__toks__"))
     return tokd.select(
         "id",
         F.explode(
@@ -376,10 +384,17 @@ def simhash_per_doc(
     multi-probe Hamming-neighbor join (plans/pipeline_ops33.py).
     """
     from bikes_data_warehouse_etl_spark.functions.text import tokens
+    from bikes_data_warehouse_etl_spark.sources.parquet import widen_scan
 
-    tok = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
-    ).select("id", hash_fn("t").alias("h"))
+    # same single-split consideration as _exploded_shingles: the
+    # tokenize+md5 stage runs at scan parallelism
+    wide = widen_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__")),
+        df.sparkSession,
+    )
+    tok = wide.select("id", F.explode(tokens("__text__")).alias("t")).select(
+        "id", hash_fn("t").alias("h")
+    )
     contribs = tok.groupBy("id").agg(
         *[
             F.sum(
