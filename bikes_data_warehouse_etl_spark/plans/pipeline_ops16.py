@@ -266,7 +266,20 @@ def co_order_edges(
     basket is a SET, a plain COUNT per pair IS the distinct co-order
     count (no count-distinct Expand). Returns ``e(a, b)``; callers
     decide whether to localCheckpoint (triangle_census does — its edge
-    set feeds five consumers)."""
+    set feeds five consumers).
+
+    The pair-count shuffle — the widest exchange of the whole graph
+    family (≈ Σ_orders C(suppliers/order, 2) rows, ~90 M at sf10) —
+    carries ONE packed long per pair, not two: suppkeys are 32-bit in
+    this schema (TPC-H keys; the generator's ≤100-replica guard in
+    tools/make_sf1.py bounds offsets < 2²⁴), so ``a·2³² + b`` is
+    injective and the aggregate hashes/compares a single 8-byte key.
+    The inner filter-then-transform also allocates pairs once (the
+    earlier struct form built C(k,2)·2 structs per basket and shipped
+    16-byte keys). Unpacking is two codegen'd bit ops after the
+    aggregate has already shrunk the stream ~30×. The packing is
+    Spark-internal: the oracle CTE keeps the naive readable self-join
+    and the hash gate proves the two equal."""
     sets = (
         _t(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_orderkey").alias("ok"))
@@ -277,16 +290,19 @@ def co_order_edges(
         F.explode(
             F.expr(
                 "flatten(transform(sks, x -> "
-                "filter(transform(sks, y -> struct(x as a, y as b)), "
-                "p -> p.a < p.b)))"
+                "transform(filter(sks, y -> x < y), "
+                "y -> shiftleft(CAST(x AS BIGINT), 32) + CAST(y AS BIGINT))))"
             )
-        ).alias("e")
-    ).select("e.a", "e.b")
+        ).alias("ab")
+    )
     return (
-        pairs.groupBy("a", "b")
+        pairs.groupBy("ab")
         .agg(F.count(F.lit(1)).alias("n_ord"))
         .filter(F.col("n_ord") >= min_coorders)
-        .select("a", "b")
+        .select(
+            F.shiftright("ab", 32).alias("a"),
+            F.expr("ab & 4294967295").alias("b"),
+        )
     )
 
 

@@ -140,6 +140,17 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PB_B = 32
 # Poisson(1) CDF thresholds in millionths: P(X <= k)
 _PB_CDF = (367879, 735759, 919699, 981012, 996340, 1000000)
+# Per-replicate affine families over the 31-bit base hash (own
+# multiplier constants — deliberately NOT minhash_coeffs, so retuning
+# the dedup sketch can never silently reshuffle the bootstrap)
+_PB_P = 2_147_483_647
+_PB_COEFFS = tuple(
+    (
+        (1_000_003 * (b + 1)) % _PB_P or 1,
+        (7_919 + 2_654_435_761 * b) % _PB_P,
+    )
+    for b in range(_PB_B)
+)
 
 
 def _sql_multiplicity(u: str) -> str:
@@ -149,19 +160,22 @@ def _sql_multiplicity(u: str) -> str:
     return f"CASE {branches} ELSE {len(_PB_CDF)} END"
 
 
+_PB_SQL_FAMILIES = ", ".join(
+    f"({b}, {a}, {c})" for b, (a, c) in enumerate(_PB_COEFFS)
+)
+
 _SQL_BOOTSTRAP = f"""
     WITH o AS (
-        SELECT o_orderkey,
+        SELECT {_sql_hash64("CAST(o_orderkey AS VARCHAR)")}
+                   & {_PB_P} AS h,
                CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
         FROM orders),
     rep AS (
-        SELECT b.b, o.cents,
+        SELECT r.b, o.cents,
                {_sql_multiplicity(
-                   _sql_hash64("CAST(o.o_orderkey AS VARCHAR) || ':' "
-                               "|| CAST(b.b AS VARCHAR)") + " % 1000000")}
+                   f"((r.a * o.h + r.c) % {_PB_P}) % 1000000")}
                    AS mult
-        FROM o CROSS JOIN (SELECT unnest(generate_series(0, {_PB_B - 1})) AS b)
-            b),
+        FROM o CROSS JOIN (VALUES {_PB_SQL_FAMILIES}) r(b, a, c)),
     means AS (
         SELECT b, CAST(SUM(mult * cents) // GREATEST(SUM(mult), 1) AS BIGINT)
                    AS mean_cents
@@ -197,34 +211,48 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`daily_anomaly_flags`, `late_rate_pchart`) needs when someone
     asks "is that daily mean move real?".
 
-    Scale: ONE scan fans out ×B row-locally (the explode carries two
-    longs), partial-agg combines per (b) before the 32-key shuffle —
-    the bootstrap costs B aggregate-inputs but zero extra scans and
-    no driver-side data. Order statistics over 32 rows are a trivial
-    window. B scales the CI's resolution, not the shuffle width.
+    Scale: ONE scan fans out ×B row-locally, partial-agg combines per
+    (b) before the 32-key shuffle — the bootstrap costs B
+    aggregate-inputs but zero extra scans and no driver-side data. The
+    replicate uniforms are the minhash trick, not B independent
+    hashes: ONE portable md5 per order gives a 31-bit base h, and
+    replicate b reads u_b = (a_b·h + c_b) mod P mod 10⁶ (P = 2³¹−1
+    prime; distinct per-replicate affine families — pure fused integer
+    ops inside the explode). Per-ROW independence, which is what the
+    Poisson bootstrap actually requires (each row's multiplicity
+    vector must be independent ACROSS ROWS; across replicates,
+    pairwise near-independence from the universal family suffices for
+    the variance the CI estimates), is carried entirely by h. The
+    previous shape paid B string-concat+md5 per row — measured 37 s →
+    ~7 s at sf10 (same JVM), and it was the bench suite's one absolute
+    latency-budget exception at sf0.1. Order statistics over 32 rows
+    are a trivial window. B scales the CI's resolution, not the
+    shuffle width.
     """
     o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
+        hash64(F.col("o_orderkey").cast("string"))
+        .bitwiseAND(F.lit(_PB_P))
+        .alias("h"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
-    rep = (
-        o.select("o_orderkey", "cents")
-        .select(
-            "o_orderkey",
-            "cents",
-            F.explode(F.sequence(F.lit(0), F.lit(_PB_B - 1))).alias("b"),
-        )
-        .select(
-            "b",
-            "cents",
-            (hash64(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit(":"),
-                    F.col("b").cast("string"),
-                )
-            ) % 1000000).alias("u"),
-        )
+    fam = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("b"),
+                F.lit(a).cast("long").alias("a"),
+                F.lit(c).cast("long").alias("c"),
+            )
+            for b, (a, c) in enumerate(_PB_COEFFS)
+        ]
+    )
+    rep = o.select("h", "cents", F.explode(fam).alias("f")).select(
+        F.col("f.b").alias("b"),
+        "cents",
+        (
+            (F.col("f.a") * F.col("h") + F.col("f.c"))
+            % F.lit(_PB_P)
+            % F.lit(1_000_000)
+        ).alias("u"),
     )
     mult = F.lit(len(_PB_CDF)).cast("long")
     for k in range(len(_PB_CDF) - 1, -1, -1):

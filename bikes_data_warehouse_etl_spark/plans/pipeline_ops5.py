@@ -188,15 +188,29 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch configuration before a 100 TB dedup run commits to it.
 
     Scale: candidates bound the quadratic stage (banded buckets,
-    50-doc skew cap); the signature join moves 8 longs per doc; the
-    exact verification reuses the shared-shingle self-join, restricted
-    here to pairs that share ≥ 1 shingle (a candidate pair produced
-    purely by affine-hash collision has no exact row and is dropped —
-    at 60-bit hash width that is a ~n²/2⁶¹ event).
+    50-doc skew cap) AND every stage after it: the candidate set is
+    built once (lazy localCheckpoint — the LSH pipeline is the one
+    unavoidable full-corpus tokenize pass), its doc ids come back as a
+    broadcast semi-join ON THE DOCUMENTS SCAN, and both the signature
+    re-derivation and the exact shingle verification then tokenize
+    only candidate docs. MinHash signatures and shingle sets are
+    per-doc quantities, so restricting the input rows cannot change
+    any emitted value — the hash gate still proves the full
+    formulation. The previous shape verified exact Jaccard over the
+    WHOLE corpus's shared-shingle self-join and inner-joined the
+    candidates afterwards (Catalyst cannot push a join below the pair
+    aggregate); at sf10 that unrestricted stage was ~70% of a 45 s
+    wall. Pairs produced purely by affine-hash collision share no
+    shingle, get no exact row, and are dropped by the inner join — at
+    60-bit hash width a ~n²/2⁶¹ event.
     """
     d = _t(spark, sf_dir, "documents")
-    cand = minhash_candidates(d)
-    sig = minhash_mins(d)
+    cand = minhash_candidates(d).localCheckpoint(eager=False)
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    dr = d.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sig = minhash_mins(dr)
     est_matches = sum(
         F.when(F.col(f"a_mh{j}") == F.col(f"b_mh{j}"), 1).otherwise(0)
         for j in range(8)
@@ -209,7 +223,7 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("id_b"),
         *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(8)],
     )
-    exact = ngram_jaccard_pairs(d, threshold=0.0).select(
+    exact = ngram_jaccard_pairs(dr, threshold=0.0, candidates=cand).select(
         "id_a", "id_b", "jaccard_bp"
     )
     return (

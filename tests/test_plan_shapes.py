@@ -125,6 +125,38 @@ EXPECTATIONS["bloom_decontam_keep"] = [
     "LeftAnti",
 ]
 FORBIDDEN["bloom_decontam_keep"] = ["CartesianProduct"]
+# round-6 session 3: the shared co-order edge build ships pairs as ONE
+# packed long (shiftleft(a,32)+b) through the widest exchange of the
+# graph family — a regression to the struct form doubles the key bytes.
+# Pinned on degree_distribution (triangle_census lazily checkpoints the
+# edge set, which replaces the upstream plan text with a LogicalRDD).
+EXPECTATIONS["degree_distribution"] = ["shiftleft", "shiftright"]
+FORBIDDEN["degree_distribution"] = ["CartesianProduct"]
+# minhash_accuracy verifies ONLY candidates: the candidate doc-id set
+# must come back onto the documents scan as a broadcast semi join — the
+# unrestricted corpus-wide shared-shingle self-join was ~70% of a 45 s
+# sf10 wall
+EXPECTATIONS["minhash_accuracy"] = ["LeftSemi"]
+FORBIDDEN["minhash_accuracy"] = ["CartesianProduct"]
+EXPECTATIONS["lsh_band_curve"] = ["LeftSemi"]
+FORBIDDEN["lsh_band_curve"] = ["CartesianProduct"]
+# batch 67: refresh merge dedups via min_by-style struct min + quota
+# window — no join anywhere (bodies reduced to hashes before any
+# exchange); vocab drift pivots with conditional aggs, never a
+# vocab self-join
+EXPECTATIONS["corpus_refresh_merge"] = ["xxhash64", "Window"]
+FORBIDDEN["corpus_refresh_merge"] = [
+    "CartesianProduct",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+]
+EXPECTATIONS["snapshot_vocab_drift"] = ["Window"]
+FORBIDDEN["snapshot_vocab_drift"] = ["CartesianProduct", "SortMergeJoin"]
+# hard-negative mining: the query sample reaches the corpus as a
+# broadcast nested-loop (explicit crossJoin(broadcast(q)) — the scored
+# matrix is reduced map-side and never shuffles)
+EXPECTATIONS["hard_negative_margin"] = ["BroadcastNestedLoopJoin"]
+FORBIDDEN["hard_negative_margin"] = ["CartesianProduct", "SortMergeJoin"]
 
 
 def _plan(spark, sf_dir, name: str) -> str:
