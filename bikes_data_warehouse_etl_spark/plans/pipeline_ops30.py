@@ -92,21 +92,29 @@ def q_assoc_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the directional build through the dominant near-unique-key
     # shuffle), filter, THEN mirror into the directional rule form —
     # ≥-support filtering commutes with mirroring
+    # …and the canonical pair rides ONE packed long through that
+    # shuffle (32-bit partkeys; the `co_order_edges` packing), unpacked
+    # only after the support filter has shrunk the stream
     pair = (
         baskets.where(F.size("parts") >= 2)
         .select(
             F.explode(
                 F.expr(
                     "flatten(transform(parts, x -> "
-                    "filter(transform(parts, y -> struct(x AS u, y AS v)), "
-                    "p -> p.u < p.v)))"
+                    "transform(filter(parts, y -> x < y), "
+                    "y -> shiftleft(CAST(x AS BIGINT), 32) "
+                    "+ CAST(y AS BIGINT))))"
                 )
-            ).alias("p")
+            ).alias("ab")
         )
-        .select("p.u", "p.v")
-        .groupBy("u", "v")
+        .groupBy("ab")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .where(F.col("support") >= _AR_MIN_SUPPORT)
+        .select(
+            F.shiftright("ab", 32).alias("u"),
+            F.expr("ab & 4294967295").alias("v"),
+            "support",
+        )
         .select(
             F.explode(
                 F.array(

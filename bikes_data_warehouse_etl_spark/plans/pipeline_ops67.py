@@ -179,15 +179,15 @@ def q_snapshot_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Hard-negative mining for retrieval training
 # ---------------------------------------------------------------------------
-_HN_MOD = 199
+_HN_QUERIES = 100
 
 _SQL_HARD_NEG = f"""
     WITH q AS (
         SELECT vec_id, embedding, label FROM embeddings
-        WHERE vec_id % {_HN_MOD} = 0),
+        WHERE vec_id < {_HN_QUERIES}),
     e AS (
         SELECT vec_id, embedding, label FROM embeddings
-        WHERE vec_id % {_HN_MOD} <> 0),
+        WHERE vec_id >= {_HN_QUERIES}),
     scored AS (
         SELECT q.vec_id, q.label,
                e.label AS e_label,
@@ -208,31 +208,34 @@ _SQL_HARD_NEG = f"""
 @_q("hard_negative_margin", _SQL_HARD_NEG)
 def q_hard_negative_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining readout for retrieval/contrastive training:
-    for a deterministic ~0.5% sample of query vectors (vec_id ≡ 0 mod
-    199), the best same-label cosine (the positive ceiling), the best
+    for a FIXED batch of query vectors (vec_id < 100 — a mining run
+    processes a constant query batch per job, whatever the corpus
+    size), the best same-label cosine (the positive ceiling), the best
     DIFFERENT-label cosine (the hard negative a contrastive batch
     should include), and the margin between them — queries with small
     or negative margins are where the label space is entangled and
     where mined negatives carry the training signal.
 
-    Scale: the query sample is broadcast (0.5% of rows; at 100 TB the
-    mining run batches the query set — the plan shape is a loop over
-    broadcastable slices, same as `embedding_topk`'s production note).
-    The corpus side streams ONCE: cosine is a codegen'd zip_with fold
-    per (corpus row × query), and the per-query conditional MAX
-    partial-aggregates map-side, so the shuffle carries two longs per
-    (query, label) — never the similarity matrix. A query whose label
-    covers the whole sample-complement would emit a NULL hard negative
-    (kept NULL in both engines; labels here are ~10-way so it does not
-    occur, but the contract is explicit).
+    Scale: the query batch is CONSTANT-SIZE by contract (a %-of-corpus
+    sample made total work quadratic-ish: ~1000 queries × 200k vectors
+    = 200M interpreted cosine folds = 301 s at sf10; the fixed batch
+    is linear in the corpus — 20M folds, and more queries mean more
+    JOBS, not a bigger join). The batch is broadcast; the corpus side
+    streams ONCE: cosine is a zip_with fold per (corpus row × query),
+    and the per-query conditional MAX partial-aggregates map-side, so
+    the shuffle carries two longs per (query, label) — never the
+    similarity matrix. A query whose label covers the whole complement
+    would emit a NULL hard negative (kept NULL in both engines; labels
+    here are ~10-way so it does not occur, but the contract is
+    explicit).
     """
     e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % _HN_MOD == 0).select(
+    q = e.filter(F.col("vec_id") < _HN_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
         F.col("label").alias("qlabel"),
     )
-    corpus = e.filter(F.col("vec_id") % _HN_MOD != 0)
+    corpus = e.filter(F.col("vec_id") >= _HN_QUERIES)
     scored = corpus.crossJoin(F.broadcast(q)).select(
         F.col("qid").alias("vec_id"),
         F.col("qlabel"),

@@ -255,8 +255,11 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on the order key) paid the distinct shuffle AND a
     sort-merge join that re-materialized every basket² row through the
     join operator; the basket build pays one shuffle and emits the a<b
-    half directly. The pair aggregate shuffles two longs; the HAVING
-    prunes the singleton long tail before any downstream use.
+    half directly. The pair aggregate — the widest exchange here —
+    shuffles ONE packed long per pair (partkeys are 32-bit in this
+    schema, bounded like the suppkeys in `co_order_edges`; same
+    filter-then-transform allocation saving), unpacked by two bit ops
+    after the HAVING has pruned the singleton long tail.
     """
     baskets = (
         _t(spark, sf_dir, "lineitem")
@@ -269,16 +272,20 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     "flatten(transform(parts, x -> "
-                    "filter(transform(parts, y -> "
-                    "struct(x AS part_a, y AS part_b)), "
-                    "p -> p.part_a < p.part_b)))"
+                    "transform(filter(parts, y -> x < y), "
+                    "y -> shiftleft(CAST(x AS BIGINT), 32) "
+                    "+ CAST(y AS BIGINT))))"
                 )
-            ).alias("p")
+            ).alias("ab")
         )
-        .select("p.part_a", "p.part_b")
-        .groupBy("part_a", "part_b")
+        .groupBy("ab")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .where(F.col("support") >= 2)
+        .select(
+            F.shiftright("ab", 32).alias("part_a"),
+            F.expr("ab & 4294967295").alias("part_b"),
+            "support",
+        )
     )
 
 

@@ -375,6 +375,153 @@ def _lev_le_pairs(strs: list, threshold: int):
     )
 
 
+def _lev_dp_dist(a, b, threshold):
+    """Exact Levenshtein distances, vectorized across pairs: same
+    row-rolling DP as `_lev_dp_le` (pair axis vectorized, cells clamped
+    at threshold+1) but returning the final (P,) uint8 distance array —
+    values of threshold+1 mean "past threshold" (the clamp cannot
+    distort any ≤-threshold value, so every returned d ≤ threshold is
+    the exact unit-cost distance, bitwise-identical to both engines'
+    ``levenshtein``)."""
+    import numpy as np
+
+    la = a.shape[1]
+    lb = b.shape[1]
+    cap = threshold + 1
+    npairs = a.shape[0]
+    prev = np.broadcast_to(
+        np.minimum(np.arange(lb + 1), cap).astype(np.uint8),
+        (npairs, lb + 1),
+    ).copy()
+    cur = np.empty_like(prev)
+    for i in range(1, la + 1):
+        cur[:, 0] = min(i, cap)
+        ai = a[:, i - 1 : i]
+        sub = prev[:, :-1] + (b != ai)
+        dele = prev[:, 1:] + 1
+        best = np.minimum(sub, dele)
+        c0 = cur[:, 0]
+        for j in range(1, lb + 1):
+            c0 = np.minimum(best[:, j - 1], c0 + 1)
+            cur[:, j] = c0
+        np.minimum(cur, cap, out=cur)
+        prev, cur = cur, prev
+    return prev[:, lb]
+
+
+def _lev_dist_values(strs: list, threshold: int):
+    """Exact distances of every unordered pair with Levenshtein ≤
+    threshold, as one numpy array (pair identities dropped — this
+    feeds histograms). Same two exact gates as `_lev_le_pairs`, with
+    the hamming gate SHARPENED into a distance shortcut for
+    equal-length pairs: hamming ∈ {0, 1, 2} ⇒ lev == hamming exactly
+    (lev ≤ hamming by substitutions; equal lengths force inserts to
+    pair with deletes, so lev 1 ⇒ one substitution ⇒ hamming 1, and
+    lev < 2 with hamming ≥ 2 is impossible) — only hamming ≥ 3 pairs
+    run the DP (a 2-edit shift like "abc"→"bca" has hamming 3, so
+    hamming 3 genuinely needs the check)."""
+    import numpy as np
+    from collections import defaultdict
+
+    def codes(idxs, length):
+        joined = "".join(strs[k] for k in idxs)
+        raw = joined.encode("utf-8")
+        if len(raw) == len(joined):
+            return np.frombuffer(raw, np.uint8).reshape(len(idxs), length)
+        return np.array(
+            [[ord(c) for c in strs[k]] for k in idxs], dtype=np.uint32
+        )
+
+    by_len = defaultdict(list)
+    for idx, s in enumerate(strs):
+        by_len[len(s)].append(idx)
+    outs: list = []
+    lens = sorted(by_len)
+    for la in lens:
+        for lb in lens:
+            if lb > la or la - lb > threshold:
+                continue
+            ia = by_len[la]
+            ib = by_len[lb]
+            if la == lb:
+                if len(ia) < 2:
+                    continue
+                pi, pj = np.triu_indices(len(ia), k=1)
+                A = codes(ia, la)
+                a = A[pi]
+                b = A[pj]
+                # clamp before the uint8 cast: hamming can exceed 255
+                # on long strings, and anything ≥ 3 goes to the DP
+                d = np.minimum((a != b).sum(axis=1), 4).astype(np.uint8)
+                need = d >= 3
+                if need.any():
+                    d = d.copy()
+                    d[need] = _lev_dp_dist(a[need], b[need], threshold)
+            else:
+                if not ia or not ib:
+                    continue
+                pi = np.repeat(np.arange(len(ia)), len(ib))
+                pj = np.tile(np.arange(len(ib)), len(ia))
+                a = codes(ia, la)[pi]
+                b = codes(ib, lb)[pj]
+                d = _lev_dp_dist(a, b, threshold)
+            keep = d <= threshold
+            if keep.any():
+                outs.append(d[keep])
+    if not outs:
+        return np.empty(0, dtype=np.uint8)
+    return np.concatenate(outs)
+
+
+def _fuzzy_stats_bucket(pdf):
+    """Per-(nk, blk) match-quality histogram for one hash bucket of
+    whole blocks: total candidate pairs C(n, 2) from the count alone,
+    matched pairs and the d0..d3 distance histogram from the
+    hamming-gated vectorized exact DP (`_lev_dist_values`). One output
+    row per block, including zero-pair singleton blocks (coverage gaps
+    stay visible — the left-join contract of the plain form)."""
+    import numpy as np
+    import pandas as pd
+
+    rows: list = []
+    for (nk, blk), g in pdf.groupby(["nk", "blk"], sort=False):
+        strs = g["c_name"].tolist()
+        n = len(strs)
+        hist = [0, 0, 0, 0]
+        if n >= 2:
+            d = _lev_dist_values(strs, 3)
+            if len(d):
+                counts = np.bincount(d, minlength=4)
+                hist = [int(counts[k]) for k in range(4)]
+        rows.append(
+            (
+                int(nk),
+                blk,
+                n,
+                n * (n - 1) // 2,
+                sum(hist),
+                hist[0],
+                hist[1],
+                hist[2],
+                hist[3],
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "nk",
+            "blk",
+            "n_names",
+            "n_cand_pairs",
+            "n_matched",
+            "n_d0",
+            "n_d1",
+            "n_d2",
+            "n_d3",
+        ],
+    )
+
+
 def _min_label_components(n, ei, ej):
     """Connected components over edge index arrays, fully vectorized:
     min-label propagation (labels pulled across edges with

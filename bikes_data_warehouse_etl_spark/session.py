@@ -110,3 +110,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def unpersist_all(spark) -> int:
+    """Release every persisted / localCheckpointed RDD in the context.
+
+    The suite runners execute hundreds of independent queries in one
+    JVM; lazily localCheckpointed frames (graph edge sets, LSH
+    candidate pipelines) stay registered in the block manager until
+    the ContextCleaner happens to GC their driver-side handles, which
+    under sustained load lags allocation — a 15-query × 3-pass sf10
+    sweep of the graph family OOM'd a 16 GB heap on accumulated
+    checkpoint blocks. Explicitly unpersisting between queries makes
+    suite memory flat in query count. Returns the RDD count released.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    rdds = list(jmap.values())  # py4j exposes the Map as a dict view
+    for rdd in rdds:
+        rdd.unpersist()
+    return len(rdds)

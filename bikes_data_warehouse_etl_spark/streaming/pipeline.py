@@ -487,3 +487,86 @@ def run_scd1_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_ingest_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: StructType,
+    corpus_path: str,
+    audit_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous corpus ingest with base-snapshot dedup — the
+    streaming twin of the batch ``incremental_dedup_ingest`` query
+    (plans/pipeline_ops67.py): every micro-batch of documents is
+    classified against the ALREADY-ACCEPTED corpus by 64-bit content
+    hash (dup_of_base dropped, one keeper per novel content kept,
+    intra-batch extras dropped), novel keepers are APPENDED to the
+    corpus parquet, and a per-batch (batch_id, source, dedup_class,
+    n_docs) audit row set is appended for the ingest dashboard.
+
+    Scale notes: the batch side carries only (doc_id, source, hash)
+    into the classification — document text is re-attached to keepers
+    by doc_id at append time, so bodies never join against the corpus;
+    the corpus side is read as a hash column only (column-pruned
+    parquet scan). The corpus append is an append-mode parquet write
+    (no rewrite of accepted data — the corpus only grows), so a batch
+    is retried idempotently only up to the checkpoint's exactly-once
+    foreachBatch contract, the same guarantee run_scd1_stream leans
+    on. On a cluster the two local parquet paths become Delta/Iceberg
+    tables and the append an ACID commit; the plan is unchanged.
+    """
+    import os
+
+    from bikes_data_warehouse_etl_spark.functions.text import hash64
+
+    def classify_and_append(batch: DataFrame, batch_id: int) -> None:
+        spark_ = batch.sparkSession
+        hashed = batch.select(
+            "*", hash64(F.col("text")).alias("__h__")
+        ).localCheckpoint(eager=True)
+        if os.path.isdir(corpus_path):
+            seen = (
+                spark_.read.parquet(corpus_path)
+                .select(hash64(F.col("text")).alias("__h__"))
+                .distinct()
+                .withColumn("__in_base__", F.lit(1))
+            )
+        else:
+            seen = None
+        from pyspark.sql import Window
+
+        w_min = F.min("doc_id").over(Window.partitionBy("__h__"))
+        cls = hashed.withColumn("__grp_min__", w_min)
+        if seen is not None:
+            cls = cls.join(seen, "__h__", "left")
+        else:
+            cls = cls.withColumn("__in_base__", F.lit(None).cast("int"))
+        cls = cls.withColumn(
+            "dedup_class",
+            F.when(F.col("__in_base__").isNotNull(), F.lit("dup_of_base"))
+            .when(F.col("doc_id") == F.col("__grp_min__"), F.lit("novel"))
+            .otherwise(F.lit("intra_batch_dup")),
+        ).localCheckpoint(eager=True)
+        audit = cls.groupBy(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "source",
+            "dedup_class",
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        audit.write.mode("append").parquet(audit_path)
+        keep = cls.filter(F.col("dedup_class") == "novel").drop(
+            "__h__", "__grp_min__", "__in_base__", "dedup_class"
+        )
+        keep.write.mode("append").parquet(corpus_path)
+
+    q = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(classify_and_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

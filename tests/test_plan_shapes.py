@@ -157,6 +157,16 @@ FORBIDDEN["snapshot_vocab_drift"] = ["CartesianProduct", "SortMergeJoin"]
 # matrix is reduced map-side and never shuffles)
 EXPECTATIONS["hard_negative_margin"] = ["BroadcastNestedLoopJoin"]
 FORBIDDEN["hard_negative_margin"] = ["CartesianProduct", "SortMergeJoin"]
+# fuzzy_match_stats rides the clusters' numpy bucket path — whole
+# blocks by 128-way hash into applyInPandas; a regression to the
+# pair-materializing self-join (51.7 s vs ~13 s at sf10) would
+# reintroduce a join
+EXPECTATIONS["fuzzy_match_stats"] = ["FlatMapGroupsInPandas"]
+FORBIDDEN["fuzzy_match_stats"] = [
+    "CartesianProduct",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+]
 
 
 def _plan(spark, sf_dir, name: str) -> str:

@@ -158,3 +158,65 @@ def test_stream_static_dim_enrichment(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) >= 3
+
+
+def test_ingest_dedup_stream_classifies_across_batches(spark, tmp_path):
+    """Continuous ingest dedup: batch 1 seeds the corpus; batch 2's
+    exact replay of a batch-1 text is dup_of_base, its internal twin
+    pair keeps one doc, and the corpus ends with exactly the distinct
+    texts (streaming twin of incremental_dedup_ingest)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from bikes_data_warehouse_etl_spark.streaming.pipeline import (
+        run_ingest_dedup_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("source", StringType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    b1 = [(1, "s", "alpha text"), (2, "s", "beta text")]
+    b2 = [
+        (3, "s", "alpha text"),   # dup_of_base
+        (4, "s", "gamma text"),   # novel keeper
+        (5, "s", "gamma text"),   # intra_batch_dup
+    ]
+    for sub, rows in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/{sub}"
+        )
+    i = 0
+    for sub in ["b1", "b2"]:
+        for f in sorted(os.listdir(f"{src}/{sub}")):
+            if f.endswith(".parquet"):
+                os.rename(f"{src}/{sub}/{f}", f"{src}/{i:03d}.parquet")
+                i += 1
+        shutil.rmtree(f"{src}/{sub}")
+
+    run_ingest_dedup_stream(spark, src, schema, corpus, audit, ckpt)
+
+    kept = {r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert kept == {"alpha text", "beta text", "gamma text"}
+    kept_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    )
+    assert kept_ids == [1, 2, 4]  # keeper ids, base copies stable
+
+    rows = spark.read.parquet(audit).collect()
+    audit_map = {
+        (r["batch_id"], r["dedup_class"]): r["n_docs"] for r in rows
+    }
+    # batch order follows file order: 000=b1, 001=b2
+    assert audit_map[(0, "novel")] == 2
+    assert audit_map[(1, "novel")] == 1
+    assert audit_map[(1, "dup_of_base")] == 1
+    assert audit_map[(1, "intra_batch_dup")] == 1

@@ -24,7 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bikes_data_warehouse_etl_spark.session import get_spark  # noqa: E402
+from bikes_data_warehouse_etl_spark.session import (  # noqa: E402
+    get_spark,
+    unpersist_all,
+)
 from bikes_data_warehouse_etl_spark.plans import QUERIES  # noqa: E402
 
 
@@ -54,6 +57,9 @@ def main() -> int:
             msg = str(e).splitlines()[0][:300]
             results[name] = {"error": msg, "s": round(time.perf_counter() - t0, 3)}
             print(f"[{i}/{len(items)}] {name}: FAIL {msg}", file=sys.stderr)
+        # release localCheckpoint blocks between queries: suite memory
+        # must stay flat in query count (see session.unpersist_all)
+        unpersist_all(spark)
         sys.stderr.flush()
 
     n_fail = sum(1 for r in results.values() if "error" in r)

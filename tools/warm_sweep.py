@@ -27,7 +27,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bikes_data_warehouse_etl_spark.session import get_spark  # noqa: E402
+from bikes_data_warehouse_etl_spark.session import (  # noqa: E402
+    get_spark,
+    unpersist_all,
+)
 from bikes_data_warehouse_etl_spark.plans import QUERIES  # noqa: E402
 
 
@@ -51,6 +54,7 @@ def main() -> int:
                 "overwrite"
             ).save()
             out[name] = {"s": round(time.perf_counter() - t0, 3)}
+            unpersist_all(spark)
         return out
 
     burn = one_pass()  # JVM/codegen warmup — not recorded
