@@ -6,9 +6,10 @@ batch must be deduplicated against the existing snapshot (not just
 within itself), the merged corpus re-capped per source, the vocabulary
 drift between snapshots monitored, and the retriever's training set
 mined for hard negatives. These five queries are those operations. The
-base/ingest split is a deterministic ``doc_id % 2`` (``vec_id % 199``
-for the query sample) so both engines see the identical partition at
-every scale factor and the differential gate stays exact.
+base/ingest split is a deterministic ``doc_id % 2`` (a fixed
+``vec_id < 50`` batch for the mining queries) so both engines see the
+identical partition at every scale factor and the differential gate
+stays exact.
 
 Standing contract (synthetic.py module docstring): integer cross-engine
 arithmetic, identical aliases both sides, bounded key domains, scale
@@ -179,7 +180,7 @@ def q_snapshot_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Hard-negative mining for retrieval training
 # ---------------------------------------------------------------------------
-_HN_QUERIES = 100
+_HN_QUERIES = 50
 
 _SQL_HARD_NEG = f"""
     WITH q AS (
@@ -208,7 +209,7 @@ _SQL_HARD_NEG = f"""
 @_q("hard_negative_margin", _SQL_HARD_NEG)
 def q_hard_negative_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining readout for retrieval/contrastive training:
-    for a FIXED batch of query vectors (vec_id < 100 — a mining run
+    for a FIXED batch of query vectors (vec_id < 50 — a mining run
     processes a constant query batch per job, whatever the corpus
     size), the best same-label cosine (the positive ceiling), the best
     DIFFERENT-label cosine (the hard negative a contrastive batch
