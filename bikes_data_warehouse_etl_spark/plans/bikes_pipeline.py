@@ -9,11 +9,13 @@ Orchestrates the two reference entry points as one engine:
   refresh or anti-join-incremental per table.
 
 Storage is plain parquet under ``warehouse_dir/{ods,dw}/<table>``.
-Updates use write-staging + atomic directory swap (read the old state,
-compute the merge, write to a staging dir, swap) — the plain-file
-equivalent of Delta's MERGE INTO; on a cluster/object store you would
-swap this ``_replace_dir`` for a Delta/Iceberg writer and keep every
-plan unchanged.
+Updates use a crash-consistent manifest-pointer commit
+(``sources/snapshot.py``): the merge is computed from the old state,
+written to a fresh immutable snapshot dir, and the table path — a
+symlink — is atomically retargeted, so a crash at ANY step leaves a
+complete readable snapshot (fault-injection-tested in
+tests/test_snapshot_swap.py). On a cluster/object store you would swap
+this for a Delta/Iceberg writer and keep every plan unchanged.
 
 Determinism: a single ``run_ts``/``as_of_date`` pair threads through
 every builder (the reference calls ``getdate()`` in 7+ places —
@@ -23,7 +25,6 @@ SURVEY §1.5.3/§7.4.2).
 from __future__ import annotations
 
 import os
-import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from bikes_data_warehouse_etl_spark.operators.merge import scd1_merge, scd2_merge
 from bikes_data_warehouse_etl_spark.plans import bikes_dw, bikes_ods
 from bikes_data_warehouse_etl_spark.plans.date_dim import build_date_dim
+from bikes_data_warehouse_etl_spark.sources import snapshot
 from bikes_data_warehouse_etl_spark.sources.csv import read_source_csv
 
 # Hive-partitioned fact writes cluster rows by the partition key so
@@ -100,13 +102,15 @@ class BikesPipeline:
         path: str,
         partition_cols: list[str] | None = None,
     ) -> None:
-        """Write to staging, then atomically swap into place.
+        """Write a fresh snapshot dir, then commit it crash-safely
+        (manifest + atomic symlink flip, ``sources/snapshot.py``).
 
         Required whenever the new state is derived from a scan of the
         old state (merges): Spark cannot overwrite a path it is
-        reading. Local-FS stand-in for a transactional table format.
+        reading — and readers must never observe a missing or partial
+        table. Local-FS stand-in for a transactional table format.
         """
-        staged = path + "__staged"
+        staged = snapshot.next_snapshot_path(path)
         if partition_cols:
             df = _cluster_for_write(df, partition_cols)
         w = df.write.mode("overwrite").option(
@@ -115,9 +119,7 @@ class BikesPipeline:
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(staged)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.replace(staged, path)
+        snapshot.commit_snapshot(path, staged)
 
     def _write(
         self,
@@ -128,7 +130,11 @@ class BikesPipeline:
         partition_cols: list[str] | None = None,
     ) -> None:
         path = self._path(layer, table)
-        if mode == "replace":
+        if mode in ("replace", "overwrite"):
+            # overwrite goes through the snapshot commit too: Spark's
+            # native overwrite deletes the live path before writing,
+            # which would expose concurrent readers to a missing table
+            # for the whole write duration.
             self._replace_dir(df, path, partition_cols)
         else:
             if partition_cols:

@@ -66,13 +66,17 @@ def compact_parquet(
     Streaming/incremental appends accumulate small files; at 100 TB the
     file-listing and per-file open costs dominate scans long before
     data volume does. Run this as the maintenance pass (Delta's
-    OPTIMIZE equivalent). Staged write + atomic swap, like the merges.
+    OPTIMIZE equivalent). Commit is the crash-consistent
+    manifest-pointer protocol of ``sources.snapshot`` — the compacted
+    copy is written to a fresh snapshot dir and the table symlink is
+    atomically retargeted, so readers never observe a missing or
+    partial table (fault-injection-tested in
+    tests/test_snapshot_swap.py).
     """
-    import os
-    import shutil
+    from bikes_data_warehouse_etl_spark.sources import snapshot
 
     df = spark.read.parquet(path)
-    staged = path + "__compacting"
+    staged = snapshot.next_snapshot_path(path)
     writer = (
         df.repartition(target_files, *partition_cols)
         if partition_cols
@@ -81,16 +85,4 @@ def compact_parquet(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(staged)
-    # swap via rename-aside: a crash between a delete and a rename must
-    # never lose the table. After `old` is moved aside, `os.replace`
-    # installs the staged copy atomically; only then is the old data
-    # deleted. A crash leaves either the original intact (before the
-    # first rename) or both copies on disk (recoverable), never neither
-    # — the rmtree-then-replace form had a window where the table was
-    # simply gone.
-    old = path + "__old"
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    os.replace(path, old)
-    os.replace(staged, path)
-    shutil.rmtree(old)
+    snapshot.commit_snapshot(path, staged)

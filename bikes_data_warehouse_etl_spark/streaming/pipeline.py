@@ -456,13 +456,16 @@ def run_scd1_stream(
     checkpoint_dir: str,
 ) -> None:
     """Incremental SCD1 via ``foreachBatch``: every micro-batch of
-    source rows upserts into the parquet target (staged-write swap, the
-    same merge the batch pipeline uses). Exactly-once per batch is
-    provided by the checkpoint + idempotent merge combination."""
+    source rows upserts into the parquet target via the
+    crash-consistent snapshot commit (``sources.snapshot``) — the same
+    merge the batch pipeline uses. The checkpoint gives at-least-once
+    batch delivery; the merge is idempotent per batch (re-merging the
+    same rows is a no-op), so the combination is effectively
+    exactly-once for the target state."""
     from bikes_data_warehouse_etl_spark.operators.merge import scd1_merge
+    from bikes_data_warehouse_etl_spark.sources import snapshot
 
     import os
-    import shutil
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark_ = batch.sparkSession
@@ -471,11 +474,9 @@ def run_scd1_stream(
             merged = scd1_merge(tgt, batch.dropDuplicates(list(keys)), keys)
         else:
             merged = batch.dropDuplicates(list(keys))
-        staged = target_path + "__staged"
+        staged = snapshot.next_snapshot_path(target_path)
         merged.write.mode("overwrite").parquet(staged)
-        if os.path.isdir(target_path):
-            shutil.rmtree(target_path)
-        os.replace(staged, target_path)
+        snapshot.commit_snapshot(target_path, staged)
 
     q = (
         spark.readStream.schema(source_schema)
@@ -510,12 +511,19 @@ def run_ingest_dedup_stream(
     into the classification — document text is re-attached to keepers
     by doc_id at append time, so bodies never join against the corpus;
     the corpus side is read as a hash column only (column-pruned
-    parquet scan). The corpus append is an append-mode parquet write
-    (no rewrite of accepted data — the corpus only grows), so a batch
-    is retried idempotently only up to the checkpoint's exactly-once
-    foreachBatch contract, the same guarantee run_scd1_stream leans
-    on. On a cluster the two local parquet paths become Delta/Iceberg
-    tables and the append an ACID commit; the plan is unchanged.
+    parquet scan).
+
+    Delivery contract: foreachBatch is AT-LEAST-ONCE — a crash between
+    or during the two writes replays the batch. Both sinks are
+    therefore idempotent per ``batch_id``: each batch OVERWRITES its
+    own hive partition (``audit/batch_id=N``,
+    ``corpus/ingest_batch_id=N``) instead of appending, so a replay
+    replaces rather than duplicates, and the combination is
+    effectively exactly-once for the observable table state. The
+    corpus still only grows across batches (no rewrite of accepted
+    data). On a cluster the two local parquet paths become
+    Delta/Iceberg tables and the per-partition overwrite an ACID
+    ``replaceWhere`` commit; the plan is unchanged.
     """
     import os
 
@@ -527,8 +535,13 @@ def run_ingest_dedup_stream(
             "*", hash64(F.col("text")).alias("__h__")
         ).localCheckpoint(eager=True)
         if os.path.isdir(corpus_path):
+            # exclude this batch's own partition: on an at-least-once
+            # replay it may hold a partial previous attempt, and the
+            # batch's docs must not classify as dups of themselves
+            # (partition-pruned — the filter never lists those files)
             seen = (
                 spark_.read.parquet(corpus_path)
+                .filter(F.col("ingest_batch_id") != F.lit(int(batch_id)))
                 .select(hash64(F.col("text")).alias("__h__"))
                 .distinct()
                 .withColumn("__in_base__", F.lit(1))
@@ -549,16 +562,21 @@ def run_ingest_dedup_stream(
             .when(F.col("doc_id") == F.col("__grp_min__"), F.lit("novel"))
             .otherwise(F.lit("intra_batch_dup")),
         ).localCheckpoint(eager=True)
-        audit = cls.groupBy(
-            F.lit(batch_id).cast("long").alias("batch_id"),
-            "source",
-            "dedup_class",
-        ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        audit.write.mode("append").parquet(audit_path)
+        audit = cls.groupBy("source", "dedup_class").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+        # idempotent per-batch commit: overwrite THIS batch's hive
+        # partition (a replayed batch replaces its own rows; batch_id
+        # surfaces as a partition column on read)
+        audit.write.mode("overwrite").parquet(
+            f"{audit_path}/batch_id={batch_id}"
+        )
         keep = cls.filter(F.col("dedup_class") == "novel").drop(
             "__h__", "__grp_min__", "__in_base__", "dedup_class"
         )
-        keep.write.mode("append").parquet(corpus_path)
+        keep.write.mode("overwrite").parquet(
+            f"{corpus_path}/ingest_batch_id={batch_id}"
+        )
 
     q = (
         spark.readStream.schema(source_schema)
