@@ -289,6 +289,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     candidates: DataFrame | None = None,
     hash_fn=hash64,
+    candidates_materialized: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
     (or restricted to ``candidates`` (id_a, id_b) when given — the
@@ -325,10 +326,14 @@ def ngram_jaccard_pairs(
         # scans the candidate pair list once for both endpoints. The
         # candidate frame feeds TWO joins (doc restriction here, exact
         # pair restriction below) — a lazy localCheckpoint materializes
-        # the LSH pipeline once at first action instead of per consumer.
-        candidates = candidates.select("id_a", "id_b").localCheckpoint(
-            eager=False
-        )
+        # the LSH pipeline once at first action instead of per
+        # consumer. Callers that ALREADY checkpointed the frame pass
+        # candidates_materialized=True so exactly one checkpoint RDD is
+        # registered per run (a second one lingers in the block manager
+        # until unpersist — ADVICE r6).
+        candidates = candidates.select("id_a", "id_b")
+        if not candidates_materialized:
+            candidates = candidates.localCheckpoint(eager=False)
         cand_ids = (
             candidates.select(
                 F.explode(F.array("id_a", "id_b")).alias("id")

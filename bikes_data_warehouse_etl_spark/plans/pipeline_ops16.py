@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
+from bikes_data_warehouse_etl_spark.functions import packing
 from bikes_data_warehouse_etl_spark.plans.synthetic import _q, _t
 
 
@@ -286,22 +287,14 @@ def co_order_edges(
         .agg(F.collect_set("l_suppkey").alias("sks"))
         .where(F.size("sks") >= 2)
     )
-    pairs = sets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sks, x -> "
-                "transform(filter(sks, y -> x < y), "
-                "y -> shiftleft(CAST(x AS BIGINT), 32) + CAST(y AS BIGINT))))"
-            )
-        ).alias("ab")
-    )
+    pairs = sets.select(packing.explode_packed_pairs("sks"))
     return (
         pairs.groupBy("ab")
         .agg(F.count(F.lit(1)).alias("n_ord"))
         .filter(F.col("n_ord") >= min_coorders)
         .select(
-            F.shiftright("ab", 32).alias("a"),
-            F.expr("ab & 4294967295").alias("b"),
+            packing.unpack_hi("ab").alias("a"),
+            packing.unpack_lo("ab").alias("b"),
         )
     )
 

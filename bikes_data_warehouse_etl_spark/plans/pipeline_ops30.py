@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
+from bikes_data_warehouse_etl_spark.functions import packing
 from bikes_data_warehouse_etl_spark.plans.synthetic import _q, _t
 
 
@@ -28,12 +29,24 @@ _SQL_ASSOC_RULES = f"""
     item AS (
         SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
         FROM lp GROUP BY 1),
-    pair AS (
-        SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+    cpair AS (
+        -- candidate-bounded core (the certified copurchase_pairs
+        -- shape): CANONICAL u<v pairs, support-filtered BEFORE the
+        -- directional mirror — support is symmetric so the >= filter
+        -- commutes with mirroring, and everything downstream runs on
+        -- the filtered candidate set. The old <>-self-join form
+        -- carried 2x the pairs through the GROUP BY and the rule
+        -- joins and timed out the sf10 gate.
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
                CAST(COUNT(*) AS BIGINT) AS support
         FROM lp a JOIN lp b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-        GROUP BY 1, 2),
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_AR_MIN_SUPPORT}),
+    pair AS (
+        SELECT u AS ante, v AS cons, support FROM cpair
+        UNION ALL
+        SELECT v AS ante, u AS cons, support FROM cpair),
     rules AS (
         SELECT pair.ante, pair.cons, pair.support,
                CAST(pair.support * 1000 // ia.n_item AS BIGINT) AS conf_milli,
@@ -42,8 +55,7 @@ _SQL_ASSOC_RULES = f"""
         FROM pair
         JOIN item ia ON pair.ante = ia.l_partkey
         JOIN item ic ON pair.cons = ic.l_partkey
-        CROSS JOIN n_ord
-        WHERE pair.support >= {_AR_MIN_SUPPORT})
+        CROSS JOIN n_ord)
     SELECT ante, cons, support, conf_milli, lift_milli
     FROM rules
     ORDER BY lift_milli DESC, ante, cons LIMIT {_AR_TOP}
@@ -97,22 +109,13 @@ def q_assoc_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only after the support filter has shrunk the stream
     pair = (
         baskets.where(F.size("parts") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, x -> "
-                    "transform(filter(parts, y -> x < y), "
-                    "y -> shiftleft(CAST(x AS BIGINT), 32) "
-                    "+ CAST(y AS BIGINT))))"
-                )
-            ).alias("ab")
-        )
+        .select(packing.explode_packed_pairs("parts"))
         .groupBy("ab")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .where(F.col("support") >= _AR_MIN_SUPPORT)
         .select(
-            F.shiftright("ab", 32).alias("u"),
-            F.expr("ab & 4294967295").alias("v"),
+            packing.unpack_hi("ab").alias("u"),
+            packing.unpack_lo("ab").alias("v"),
             "support",
         )
         .select(

@@ -223,9 +223,9 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("id_b"),
         *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(8)],
     )
-    exact = ngram_jaccard_pairs(dr, threshold=0.0, candidates=cand).select(
-        "id_a", "id_b", "jaccard_bp"
-    )
+    exact = ngram_jaccard_pairs(
+        dr, threshold=0.0, candidates=cand, candidates_materialized=True
+    ).select("id_a", "id_b", "jaccard_bp")
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
+from bikes_data_warehouse_etl_spark.functions import packing
 from bikes_data_warehouse_etl_spark.plans.synthetic import _q, _t
 
 
@@ -268,22 +269,13 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("parts") >= 2)
     )
     return (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, x -> "
-                    "transform(filter(parts, y -> x < y), "
-                    "y -> shiftleft(CAST(x AS BIGINT), 32) "
-                    "+ CAST(y AS BIGINT))))"
-                )
-            ).alias("ab")
-        )
+        baskets.select(packing.explode_packed_pairs("parts"))
         .groupBy("ab")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .where(F.col("support") >= 2)
         .select(
-            F.shiftright("ab", 32).alias("part_a"),
-            F.expr("ab & 4294967295").alias("part_b"),
+            packing.unpack_hi("ab").alias("part_a"),
+            packing.unpack_lo("ab").alias("part_b"),
             "support",
         )
     )

@@ -303,6 +303,46 @@ def _lev_dp_le(a, b, threshold):
     return prev[:, lb] <= threshold
 
 
+
+# Fixed pair-batch bound for the across-pairs DP: one chunk holds at
+# most this many pairs, so a pathological fuzzy block (no skew cap at
+# the block level, unlike the LSH 50-doc bucket cap) can no longer
+# blow executor memory inside applyInPandas — worst-chunk footprint is
+# ~batch x (L+1) DP cells instead of C(n,2) x (L+1). A python loop per
+# ~256k pairs is noise against the DP itself.
+_LEV_PAIR_BATCH = 1 << 18
+
+
+def _tri_pair_chunks(n: int, batch: int):
+    """Yield (pi, pj) index-array chunks covering all 0<=i<j<n pairs,
+    ~batch pairs per chunk, WITHOUT materializing the full C(n,2)
+    arrays (np.triu_indices on a big block is itself the blowup)."""
+    import numpy as np
+
+    rows = max(1, batch // max(1, n - 1))
+    for i0 in range(0, n - 1, rows):
+        i1 = min(n - 1, i0 + rows)
+        counts = np.arange(n - 1 - i0, n - 1 - i1, -1)
+        pi = np.repeat(np.arange(i0, i1), counts)
+        pj = np.concatenate(
+            [np.arange(r + 1, n) for r in range(i0, i1)]
+        )
+        yield pi, pj
+
+
+def _cross_pair_chunks(na: int, nb: int, batch: int):
+    """Yield (pi, pj) chunks covering the full na x nb cross product,
+    ~batch pairs per chunk."""
+    import numpy as np
+
+    rows = max(1, batch // max(1, nb))
+    for i0 in range(0, na, rows):
+        i1 = min(na, i0 + rows)
+        pi = np.repeat(np.arange(i0, i1), nb)
+        pj = np.tile(np.arange(nb), i1 - i0)
+        yield pi, pj
+
+
 def _lev_le_pairs(strs: list, threshold: int):
     """All (i, j < i) index pairs with Levenshtein(strs[i], strs[j]) ≤
     threshold, as two numpy index arrays. Work is bounded by two exact
@@ -314,6 +354,8 @@ def _lev_le_pairs(strs: list, threshold: int):
       indel alignments still reach ≤ t;
     * cross-length groups further apart than t are skipped outright
       (lev ≥ length difference).
+
+    Memory is bounded per chunk (`_LEV_PAIR_BATCH`), not per block.
     """
     import numpy as np
     from collections import defaultdict
@@ -344,26 +386,33 @@ def _lev_le_pairs(strs: list, threshold: int):
             if la == lb:
                 if len(ia) < 2:
                     continue
-                pi, pj = np.triu_indices(len(ia), k=1)
                 A = codes(ia, la)
-                a = A[pi]
-                b = A[pj]
-                hamming = (a != b).sum(axis=1)
-                ok = hamming <= threshold
-                maybe = ~ok
-                if maybe.any():
-                    ok[maybe] = _lev_dp_le(a[maybe], b[maybe], threshold)
+                chunks = _tri_pair_chunks(len(ia), _LEV_PAIR_BATCH)
+                B = A
             else:
                 if not ia or not ib:
                     continue
-                pi = np.repeat(np.arange(len(ia)), len(ib))
-                pj = np.tile(np.arange(len(ib)), len(ia))
-                a = codes(ia, la)[pi]
-                b = codes(ib, lb)[pj]
-                ok = _lev_dp_le(a, b, threshold)
-            if ok.any():
-                outs_i.append(np.asarray(ia)[pi[ok]])
-                outs_j.append(np.asarray(ib)[pj[ok]])
+                A = codes(ia, la)
+                B = codes(ib, lb)
+                chunks = _cross_pair_chunks(
+                    len(ia), len(ib), _LEV_PAIR_BATCH
+                )
+            for pi, pj in chunks:
+                a = A[pi]
+                b = B[pj]
+                if la == lb:
+                    hamming = (a != b).sum(axis=1)
+                    ok = hamming <= threshold
+                    maybe = ~ok
+                    if maybe.any():
+                        ok[maybe] = _lev_dp_le(
+                            a[maybe], b[maybe], threshold
+                        )
+                else:
+                    ok = _lev_dp_le(a, b, threshold)
+                if ok.any():
+                    outs_i.append(np.asarray(ia)[pi[ok]])
+                    outs_j.append(np.asarray(ib)[pj[ok]])
     if not outs_i:
         return (
             np.empty(0, dtype=np.int64),
@@ -446,28 +495,37 @@ def _lev_dist_values(strs: list, threshold: int):
             if la == lb:
                 if len(ia) < 2:
                     continue
-                pi, pj = np.triu_indices(len(ia), k=1)
                 A = codes(ia, la)
-                a = A[pi]
-                b = A[pj]
-                # clamp before the uint8 cast: hamming can exceed 255
-                # on long strings, and anything ≥ 3 goes to the DP
-                d = np.minimum((a != b).sum(axis=1), 4).astype(np.uint8)
-                need = d >= 3
-                if need.any():
-                    d = d.copy()
-                    d[need] = _lev_dp_dist(a[need], b[need], threshold)
+                B = A
+                chunks = _tri_pair_chunks(len(ia), _LEV_PAIR_BATCH)
             else:
                 if not ia or not ib:
                     continue
-                pi = np.repeat(np.arange(len(ia)), len(ib))
-                pj = np.tile(np.arange(len(ib)), len(ia))
-                a = codes(ia, la)[pi]
-                b = codes(ib, lb)[pj]
-                d = _lev_dp_dist(a, b, threshold)
-            keep = d <= threshold
-            if keep.any():
-                outs.append(d[keep])
+                A = codes(ia, la)
+                B = codes(ib, lb)
+                chunks = _cross_pair_chunks(
+                    len(ia), len(ib), _LEV_PAIR_BATCH
+                )
+            for pi, pj in chunks:
+                a = A[pi]
+                b = B[pj]
+                if la == lb:
+                    # clamp before the uint8 cast: hamming can exceed
+                    # 255 on long strings; anything ≥ 3 goes to the DP
+                    d = np.minimum((a != b).sum(axis=1), 4).astype(
+                        np.uint8
+                    )
+                    need = d >= 3
+                    if need.any():
+                        d = d.copy()
+                        d[need] = _lev_dp_dist(
+                            a[need], b[need], threshold
+                        )
+                else:
+                    d = _lev_dp_dist(a, b, threshold)
+                keep = d <= threshold
+                if keep.any():
+                    outs.append(d[keep])
     if not outs:
         return np.empty(0, dtype=np.uint8)
     return np.concatenate(outs)

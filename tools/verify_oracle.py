@@ -143,9 +143,15 @@ def main() -> int:
         finally:
             timer.cancel()
 
+    from bikes_data_warehouse_etl_spark.session import unpersist_all
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # release localCheckpoint blocks between queries — a 315-query
+        # sf10 run in one JVM otherwise accumulates checkpoint RDDs
+        # until the heap dies (same discipline as tools/run_suite.py)
+        unpersist_all(spark)
         if name in reused:
             r = reused[name]
             results[name] = r
