@@ -86,3 +86,42 @@ def compact_parquet(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(staged)
     snapshot.commit_snapshot(path, staged)
+
+
+def write_pairs(
+    df: DataFrame,
+    path: str,
+    block_cols: Sequence[str],
+    n_buckets: int = 64,
+    max_records_per_file: int = 5_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed sink for the pair-emitting operators (fuzzy_name_pairs,
+    lsh_candidates): at 100 TB their consumer is a partitioned WRITE,
+    not a returned DataFrame — pair volume (372M rows at sf10 for the
+    fuzzy emitter) makes the collect/return form a driver hazard and
+    the write layout the real contract.
+
+    Layout: hive directories on ``bucket = pmod(xxhash64(block key),
+    n_buckets)`` — the raw block/band key is high-cardinality (it
+    would explode the directory count), the hashed bucket is bounded
+    and STABLE, so a downstream cluster-merge job processes one bucket
+    directory at a time and a given block always lands in the same
+    bucket. Rows are clustered per bucket (one task per bucket dir,
+    whole blocks co-located) and sorted within partitions by the block
+    key for run-length locality; ``maxRecordsPerFile`` bounds any one
+    file even when a bucket is hot. The query forms stay unchanged for
+    the oracle gate; this is the scale path for their output.
+    """
+    import pyspark.sql.functions as F
+
+    bucket = F.pmod(F.xxhash64(*block_cols), F.lit(n_buckets)).cast("int")
+    (
+        df.withColumn("bucket", bucket)
+        .repartition("bucket")
+        .sortWithinPartitions("bucket", *block_cols)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("bucket")
+        .parquet(path)
+    )

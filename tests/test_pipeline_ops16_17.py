@@ -190,3 +190,39 @@ def test_length_gate_band(spark, sf_dir):
             assert row["n_kept"] >= 0.88 * n
         else:
             assert row["n_kept"] >= 1
+
+
+def test_edges_snapshot_matches_inline_and_prunes_exchange(spark, sf_dir):
+    """SPARK_GRAFT_EDGE_SNAPSHOT=1: the graph family reads one shared
+    bucketed edge table; rows identical to the inline build, and a
+    groupBy on the bucket key plans with NO added Exchange (the
+    snapshot's reason to exist at 100x)."""
+    import os
+
+    from bikes_data_warehouse_etl_spark.plans.pipeline_ops16 import (
+        build_edges_snapshot,
+        co_order_edges,
+    )
+
+    inline = sorted(map(tuple, co_order_edges(spark, sf_dir).collect()))
+    tbl = build_edges_snapshot(spark, sf_dir)
+    assert spark.catalog.tableExists(tbl)
+    # idempotent: second call reuses, returns same name
+    assert build_edges_snapshot(spark, sf_dir) == tbl
+
+    os.environ["SPARK_GRAFT_EDGE_SNAPSHOT"] = "1"
+    try:
+        snap = co_order_edges(spark, sf_dir)
+        assert sorted(map(tuple, snap.collect())) == inline
+        # bucket pruning: per-src degree aggregate plans without an
+        # Exchange between scan and final aggregate
+        plan = (
+            snap.groupBy("a")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        del os.environ["SPARK_GRAFT_EDGE_SNAPSHOT"]

@@ -220,3 +220,37 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
         .first()[0]
     )
     assert abs(q.first()["total_qty"] - expected) < 1e-6
+
+
+def test_write_pairs_bucketed_layout(spark, sf_dir, tmp_path):
+    """write_pairs: bounded bucket directories, stable block->bucket
+    assignment, row-complete round-trip of the fuzzy pair emitter."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from bikes_data_warehouse_etl_spark.plans.coverage import (
+        q_fuzzy_name_pairs,
+    )
+    from bikes_data_warehouse_etl_spark.sources.sinks import write_pairs
+
+    pairs = q_fuzzy_name_pairs(spark, sf_dir)
+    out = str(tmp_path / "pairs")
+    write_pairs(pairs, out, block_cols=["id_a"], n_buckets=8)
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
+    assert 1 <= len(dirs) <= 8
+    back = spark.read.parquet(out)
+    assert back.count() == pairs.count()
+    # stable assignment: same id_a never straddles two buckets
+    assert (
+        back.groupBy("id_a")
+        .agg(F.countDistinct("bucket").alias("nb"))
+        .filter(F.col("nb") > 1)
+        .count()
+        == 0
+    )
+    # identical pair content
+    a = sorted(map(tuple, back.select("id_a", "id_b", "edit_dist").collect()))
+    b = sorted(map(tuple, pairs.collect()))
+    assert a == b

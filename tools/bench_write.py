@@ -231,6 +231,38 @@ def bench_merge_sf1(spark, work: str, sf1_dir: str) -> dict:
     }
 
 
+def bench_pair_sink(spark, work: str, sf_dir: str) -> dict:
+    """The emitters' scale path (VERDICT r6 task #4): at real scale the
+    consumer of fuzzy_name_pairs / lsh_candidates is a bucketed
+    partitioned WRITE, not a returned DataFrame. Times write_pairs on
+    both emitters at the given sf and reports rows + rows/s — the
+    throughput number the 372M-pair sf10 form needs."""
+    from bikes_data_warehouse_etl_spark.plans.coverage import (
+        q_fuzzy_name_pairs,
+    )
+    from bikes_data_warehouse_etl_spark.plans.extensions import (
+        q_lsh_candidates,
+    )
+    from bikes_data_warehouse_etl_spark.sources.sinks import write_pairs
+
+    out: dict = {"sf_dir": sf_dir}
+    for name, df, blocks in (
+        ("fuzzy_name_pairs", q_fuzzy_name_pairs(spark, sf_dir), ["id_a"]),
+        ("lsh_candidates", q_lsh_candidates(spark, sf_dir), ["id_a"]),
+    ):
+        dest = os.path.join(work, f"pairs_{name}")
+        t0 = time.time()
+        write_pairs(df, dest, block_cols=blocks, n_buckets=64)
+        el = time.time() - t0
+        spark_df = spark.read.parquet(dest)
+        n = spark_df.count()
+        out[f"{name}_rows"] = n
+        out[f"{name}_write_s"] = round(el, 2)
+        out[f"{name}_rows_per_s"] = int(n / el) if el > 0 else None
+        shutil.rmtree(dest, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     args = sys.argv[1:]
     n_rep = int(args[args.index("--rep") + 1]) if "--rep" in args else N_REP
@@ -239,6 +271,10 @@ def main() -> int:
         if "--sf1" in args
         else os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
     )
+    # --pairs DIR: also time the bucketed pair sink against DIR
+    # (intended: /tmp/sf10). Off by default — it is the one arm whose
+    # input queries take minutes at sf10.
+    pairs_dir = args[args.index("--pairs") + 1] if "--pairs" in args else None
     from bikes_data_warehouse_etl_spark.session import get_spark
 
     spark = get_spark("bench-write")
@@ -251,6 +287,8 @@ def main() -> int:
         result["merge_sf1"] = bench_merge_sf1(spark, work, sf1_dir)
     else:
         result["merge_sf1"] = {"skipped": f"{sf1_dir} absent — run tools/make_sf1.py"}
+    if pairs_dir:
+        result["pair_sink"] = bench_pair_sink(spark, work, pairs_dir)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prev_path = os.path.join(repo, "WRITE_BENCH.json")
@@ -271,6 +309,13 @@ def main() -> int:
                     regressions.append(
                         {"metric": f"{section}.{k}", "prev": pv, "now": v}
                     )
+    if not pairs_dir and os.path.exists(prev_path):
+        # keep the last measured pair-sink row when this regen skipped
+        # the (expensive, sf10) arm — absence would read as a removal
+        with open(prev_path) as f:
+            prev_keep = json.load(f).get("pair_sink")
+        if prev_keep:
+            result["pair_sink"] = prev_keep
     result["regressions_vs_prev"] = regressions
     with open(prev_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
