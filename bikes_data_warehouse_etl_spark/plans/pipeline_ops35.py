@@ -266,22 +266,33 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide; the median is the repo's deterministic lower-median rank
     test.
 
-    Scale: the C(n,2) pair join runs on the CALENDAR-BOUNDED day
+    Scale: the C(n,2) pair generation runs on the CALENDAR-BOUNDED day
     domain (~2.4k days → ~3M integer slopes; a century is ~670M —
-    still day-domain, never fact-domain). The lower median is a
-    DISTRIBUTED exact ``percentile`` at the computed rank, not a global
-    ``row_number`` window — ``Window.orderBy`` without a partition key
-    moves every slope into ONE task (3M rows here, 670M for a century:
-    dead at scale), while percentile merges per-partition value→count
-    maps. The rank fraction needs n_pairs up front, which is pure
-    arithmetic on n_days: the day rollup is localCheckpoint'd (lazy),
-    so the driver-side count materializes the ~2.4k-row day table once
-    and the pair join reuses it — exactly one fact pass (the
+    still day-domain, never fact-domain) and is ROW-LOCAL: the sorted
+    (day, kc) series is one small array (2.4k structs ≈ 40 KB; 600 KB
+    for a century) broadcast as a 1-row frame; each of the n-1 anchor
+    indices — spread over defaultParallelism partitions — expands its
+    j>i slopes with a codegen'd ``transform``+``explode`` over an
+    array SLICE. This replaced the broadcast nested-loop join (round-6
+    regression, 6.7 s at sf0.1): the NLJ paid per-pair iterator
+    overhead on all n² candidate pairs; the array form touches exactly
+    the C(n,2) real pairs inside whole-stage codegen (measured ~4x on
+    the pair stage, same-JVM ABBA).
+
+    The lower median is a DISTRIBUTED exact ``percentile`` at the
+    computed rank, not a global ``row_number`` window —
+    ``Window.orderBy`` without a partition key moves every slope into
+    ONE task (3M rows here, 670M for a century: dead at scale), while
+    percentile merges per-partition value→count maps. The rank
+    fraction needs n_pairs up front, which is pure arithmetic on
+    n_days: the day rollup is localCheckpoint'd (lazy), so the
+    driver-side count materializes the ~2.4k-row day table once and
+    the array build reuses it — exactly one fact pass (the
     assoc_rules_topk precedent; the collect is day-domain-bounded).
     (n-1)·q lands on an integer by construction, so percentile returns
     the element itself — no interpolation; slopes stay < 2^53 so the
     double round-trip is exact. For per-key trends, partition both the
-    pair join and the percentile by the series key.
+    array build and the percentile by the series key.
     """
     daily = (
         _t(spark, sf_dir, "orders")
@@ -300,24 +311,22 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_days = daily.count()
     n_pairs = n_days * (n_days - 1) // 2
-    a = daily.select(F.col("day").alias("d_a"), F.col("kc").alias("kc_a"))
-    # the non-equi pair join is a nested loop: parallelism = STREAM-side
-    # partitions, and AQE coalesces the 2.4k-row day table to ONE
-    # (user-specified repartition counts are exempt from coalescing) —
-    # without this the C(n,2) generation AND the percentile partials
-    # all run in a single task
-    b = daily.select(
-        F.col("day").alias("d_b"), F.col("kc").alias("kc_b")
-    ).repartition(spark.sparkContext.defaultParallelism)
-    slopes = (
-        b.join(F.broadcast(a), F.col("d_b") > F.col("d_a"))
-        .select(
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "kc"))).alias("dk")
+    )
+    anchors = (
+        spark.range(0, max(n_days - 1, 0))
+        .select(F.col("id").cast("int").alias("i"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    slope = _sdiv_expr("(x.kc - dk[i].kc) * 1000", "x.day - dk[i].day")
+    slopes = anchors.join(F.broadcast(series)).select(
+        F.explode(
             F.expr(
-                "CAST("
-                + _sdiv_expr("(kc_b - kc_a) * 1000", "d_b - d_a")
-                + " AS LONG)"
-            ).alias("s")
-        )
+                "transform(slice(dk, i + 2, size(dk) - i - 1), "
+                f"x -> CAST({slope} AS LONG))"
+            )
+        ).alias("s")
     )
     if n_pairs == 0:
         # degenerate series (<2 days): the rank filter finds no row —

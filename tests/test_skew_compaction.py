@@ -60,3 +60,77 @@ def test_salted_join_rejects_outer_on_replicated_side(spark):
     for how in ("right", "full", "right_outer", "outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(large, small, ["k"], how=how)
+
+
+def test_salted_join_beats_plain_2x_on_hot_key(spark):
+    """The skew mitigation WINNING (VERDICT r6 task #5): a 90%-hot
+    join feeding per-row downstream scoring — the skewed-stage
+    straggler shape — must run >=2x faster salted (salt 8) than plain.
+
+    Probed margin on this host is ~2.7x (min-of-3); the assertion sits
+    at 2.0 so real regressions (salting silently disabled, salt column
+    collapsing) fail while host noise does not. Both arms run
+    interleaved in ONE JVM with broadcast and AQE skew-split disabled
+    (broadcast would moot the scenario; AQE split is the competing
+    mitigation measured separately in SKEW_BENCH.json), and must also
+    agree on the aggregate itself."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from bikes_data_warehouse_etl_spark.operators.skew import salted_join
+    from bikes_data_warehouse_etl_spark.session import unpersist_all
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        fact = (
+            spark.range(0, 4_000_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(
+                    F.col("id") % 200_000
+                ),
+            )
+            .withColumn("v", F.col("id").cast("string"))
+        )
+        dim = spark.range(0, 200_000).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+        )
+        # reducer-side per-row scoring: serialized into the one hot
+        # task when plain, spread over 8 salt buckets when salted
+        score = F.max(
+            F.md5(F.concat(F.md5(F.concat(F.md5("v"), "v")), "v"))
+        ).alias("s")
+        n = F.count(F.lit(1)).cast("long").alias("n")
+
+        def plain():
+            return fact.join(dim, "k").agg(n, score).collect()[0]
+
+        def salted():
+            return (
+                salted_join(fact, dim, ["k"], salt=8)
+                .agg(n, score)
+                .collect()[0]
+            )
+
+        r_p, r_s = plain(), salted()  # warm + semantics check
+        assert tuple(r_p) == tuple(r_s)
+        tp, ts = [], []
+        for _ in range(3):
+            t0 = time.time()
+            plain()
+            tp.append(time.time() - t0)
+            t0 = time.time()
+            salted()
+            ts.append(time.time() - t0)
+            unpersist_all(spark)
+        assert min(tp) >= 2.0 * min(ts), (
+            f"salted join no longer wins on the 90%-hot input: "
+            f"plain mins {tp} vs salted {ts}"
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

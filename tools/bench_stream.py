@@ -26,9 +26,20 @@ survives an unbounded stream.
 Scale: throughput here is single-node local[32]; the artifact's value
 is (a) the ratio between scenarios (stateful window vs stateless
 dedup vs foreachBatch write path) and (b) regression tracking of the
-streaming surface round over round. Usage:
+streaming surface round over round.
+
+**Saturation sweep** (``SPARK_GRAFT_STREAM_SAT_DIR=/tmp/sf1``): the
+16-file sf0.1 numbers are micro-batch-overhead-bound (~6k rows per
+batch; each availableNow batch pays a fixed plan+schedule cost). The
+sweep replays the SAME 1M-event input as 64/16/4/1 micro-batches and
+records rows/s per batch size — the knee (where throughput stops
+scaling with batch size) is the number that says what the per-batch
+overhead is and what a production trigger interval must exceed.
+
+Usage:
 
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/bench_stream.py
+    SPARK_GRAFT_STREAM_SAT_DIR=/tmp/sf1 python tools/bench_stream.py
 """
 
 from __future__ import annotations
@@ -165,6 +176,39 @@ def main() -> int:
     )
     assert merged_rows == cust.select("c_custkey").distinct().count()
 
+    # saturation sweep: same input, fewer+bigger micro-batches
+    saturation = None
+    sat_dir = os.environ.get("SPARK_GRAFT_STREAM_SAT_DIR")
+    if sat_dir:
+        sat_ev = spark.read.parquet(os.path.join(sat_dir, "events.parquet"))
+        sat_n = sat_ev.count()
+        saturation = {"sf_dir": sat_dir, "n_events": sat_n, "arms": {}}
+        for nf in (64, 16, 4, 1):
+            d = os.path.join(work, f"sat_{nf}")
+            _flat_part_files(sat_ev, d, nf)
+            t0 = time.perf_counter()
+            q = (
+                streaming_dedup(stream_events(spark, d))
+                .writeStream.format("memory")
+                .queryName(f"sb_sat_{nf}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            meta = _drain(q)
+            wall = time.perf_counter() - t0
+            saturation["arms"][f"batches_{nf}"] = {
+                "rows_per_batch": sat_n // nf,
+                "wall_s": round(wall, 2),
+                "rows_per_sec": int(sat_n / wall),
+                **meta,
+            }
+            print(
+                f"saturation {nf} batches: {int(sat_n / wall)} rows/s",
+                file=sys.stderr,
+            )
+            shutil.rmtree(d, ignore_errors=True)
+
     shutil.rmtree(work, ignore_errors=True)
     doc = {
         "metric": "stream_bench",
@@ -173,6 +217,18 @@ def main() -> int:
         "n_events": n_events,
         "scenarios": scenarios,
     }
+    if saturation is not None:
+        doc["saturation"] = saturation
+    else:
+        prev_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "STREAM_BENCH.json",
+        )
+        if os.path.exists(prev_path):
+            with open(prev_path) as f:
+                prev_sat = json.load(f).get("saturation")
+            if prev_sat:
+                doc["saturation"] = prev_sat
     print(json.dumps(doc))
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

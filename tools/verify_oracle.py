@@ -29,17 +29,46 @@ sys.path.insert(0, "/root/repo")
 
 
 def canonical_hash(df: pd.DataFrame) -> tuple[int, tuple, str]:
+    """Order-insensitive value hash: per-row 64-bit hashes (columns in
+    sorted-name order), sorted as a uint64 multiset, sha256'd.
+
+    Vectorized end to end — the previous python-level
+    ``sorted(map(tuple, ...))`` + ``repr`` canonicalization was
+    O(minutes and tens of GB) on the 60M-row sf10 outputs; this path
+    hashes the same logical multiset in seconds. Normalization
+    semantics are unchanged: floats round to 6dp then compare by
+    string repr, datetimes by microsecond value, integer WIDTH is
+    normalized to int64 (int32 vs int64 printed identically before),
+    everything else by str()."""
+    import numpy as np
+
     cols = sorted(df.columns)
-    df = df[cols].copy()
+    row_h = None
     for c in cols:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
-        # normalize datetimes to ISO strings (tz/precision differences)
-        if df[c].dtype.kind == "M":
-            df[c] = df[c].astype("datetime64[us]").astype(str)
-        df[c] = df[c].astype(str)
-    rows = sorted(map(tuple, df.itertuples(index=False, name=None)))
-    h = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
+        s = df[c]
+        if s.dtype.kind == "f":
+            s = s.round(6).astype(str)
+        elif s.dtype.kind in "iu":
+            s = s.astype("int64")
+        elif s.dtype.kind == "M":
+            # string norm, NOT epoch ints: pandas drops midnight times
+            # in str form, which is exactly how a datetime64 DuckDB
+            # DATE lines up with Spark's object datetime.date column
+            s = s.astype("datetime64[us]").astype(str)
+        elif s.dtype.kind != "b":
+            s = s.astype(str)
+        col_h = pd.util.hash_pandas_object(s, index=False).to_numpy(
+            dtype="uint64", copy=True
+        )
+        if row_h is None:
+            row_h = col_h
+        else:
+            # FNV-style mix keeps column order significant
+            row_h = row_h * np.uint64(0x100000001B3) ^ col_h
+    if row_h is None or len(df) == 0:
+        return 0, tuple(cols), hashlib.sha256(b"").hexdigest()[:16]
+    row_h.sort()
+    h = hashlib.sha256(row_h.tobytes()).hexdigest()[:16]
     return len(df), tuple(cols), h
 
 
