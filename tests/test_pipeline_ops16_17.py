@@ -226,3 +226,26 @@ def test_edges_snapshot_matches_inline_and_prunes_exchange(spark, sf_dir):
         assert "Exchange" not in plan, plan[:2000]
     finally:
         del os.environ["SPARK_GRAFT_EDGE_SNAPSHOT"]
+
+
+def test_pair_packing_guard_raises_on_domain_overflow(spark):
+    """functions/packing.py: a key outside [0, 2^31) must FAIL the
+    query loudly (assert_true) instead of silently merging distinct
+    pairs — the ADVICE r6 domain-growth trap."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from bikes_data_warehouse_etl_spark.functions import packing
+
+    ok = spark.createDataFrame(
+        [([1, 5, 9],)], "arr array<long>"
+    ).select(packing.explode_packed_pairs("arr"))
+    got = sorted(r["ab"] for r in ok.collect())
+    assert got == [(1 << 32) + 5, (1 << 32) + 9, (5 << 32) + 9]
+
+    bad = spark.createDataFrame(
+        [([1, 1 << 31],)], "arr array<long>"
+    ).select(packing.explode_packed_pairs("arr"))
+    with pytest.raises(Exception) as ei:
+        bad.collect()
+    assert "pair packing" in str(ei.value)
