@@ -279,20 +279,23 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     the C(n,2) real pairs inside whole-stage codegen (measured ~4x on
     the pair stage, same-JVM ABBA).
 
-    The lower median is a DISTRIBUTED exact ``percentile`` at the
-    computed rank, not a global ``row_number`` window —
-    ``Window.orderBy`` without a partition key moves every slope into
-    ONE task (3M rows here, 670M for a century: dead at scale), while
-    percentile merges per-partition value→count maps. The rank
-    fraction needs n_pairs up front, which is pure arithmetic on
-    n_days: the day rollup is localCheckpoint'd (lazy), so the
-    driver-side count materializes the ~2.4k-row day table once and
-    the array build reuses it — exactly one fact pass (the
-    assoc_rules_topk precedent; the collect is day-domain-bounded).
-    (n-1)·q lands on an integer by construction, so percentile returns
-    the element itself — no interpolation; slopes stay < 2^53 so the
-    double round-trip is exact. For per-key trends, partition both the
-    array build and the percentile by the series key.
+    The lower median is an exact integer HISTOGRAM BISECTION over the
+    localCheckpoint'd slope frame: min/max pass, then ≤3 rounds of a
+    1024-bucket range histogram (map-side-combined, 1024-row collect)
+    narrowing to the bucket containing the rank, then one ≤4096-row
+    distinct-value collect to walk to the exact element. Every
+    distributed pass carries FIXED-size aggregation state — unlike
+    ``F.percentile``, whose per-partition value→count maps grow with
+    the distinct-slope count (~3M entries here, 670M for a century;
+    measured ~7 s of the old 8 s sf0.1 wall), and unlike a global
+    ``row_number`` window, which moves every slope into ONE task. All
+    collects are bounded by construction (1-row min/max, 1024-row
+    histograms, 4096-row final); all arithmetic is integer, so both
+    engines agree exactly. The rank needs n_pairs up front — pure
+    arithmetic on n_days via the lazily-checkpointed day rollup
+    (exactly one fact pass, the assoc_rules_topk precedent). For
+    per-key trends, run the bisection per key over a (key, bucket)
+    histogram.
     """
     daily = (
         _t(spark, sf_dir, "orders")
@@ -328,20 +331,55 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     )
-    if n_pairs == 0:
-        # degenerate series (<2 days): the rank filter finds no row —
-        # keep the empty-result contract and the 3-column schema
-        return slopes.select(
-            F.lit(None).cast("long").alias("n_days"),
-            F.lit(None).cast("long").alias("n_pairs"),
-            F.col("s").alias("theil_sen_milli_kc_per_day"),
-        ).limit(0)
-    rank = (n_pairs + 1) // 2  # lower median, 1-based
-    q = 0.0 if n_pairs == 1 else (rank - 1) / (n_pairs - 1)
-    return slopes.agg(
-        F.lit(n_days).cast("long").alias("n_days"),
-        F.lit(n_pairs).cast("long").alias("n_pairs"),
-        F.percentile("s", F.lit(q))
-        .cast("long")
-        .alias("theil_sen_milli_kc_per_day"),
+    schema = (
+        "n_days long, n_pairs long, theil_sen_milli_kc_per_day long"
     )
+    if n_pairs == 0:
+        # degenerate series (<2 days): empty result, stable schema
+        return spark.createDataFrame([], schema)
+    rank = (n_pairs + 1) // 2  # lower median, 1-based
+    med = _exact_rank_element(slopes.localCheckpoint(eager=False), rank)
+    return spark.createDataFrame([(n_days, n_pairs, med)], schema)
+
+
+def _exact_rank_element(sl: DataFrame, rank: int) -> int:
+    """Exact k-th smallest of integer column ``s`` by histogram
+    bisection: fixed-width distributed passes, bounded collects (1-row
+    min/max, ≤1024-row histograms, ≤4096-row final walk). ``sl``
+    should be checkpointed — each round is one cheap scan of it."""
+    row = sl.agg(F.min("s").alias("lo"), F.max("s").alias("hi")).first()
+    lo, hi = int(row["lo"]), int(row["hi"])
+    need = rank
+    while hi - lo > 4096:
+        width = (hi - lo) // 1024 + 1
+        hist = (
+            sl.where((F.col("s") >= lo) & (F.col("s") <= hi))
+            .groupBy(F.expr(f"(s - {lo}) div {width}").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        counts = {int(r["b"]): int(r["n"]) for r in hist}
+        acc = 0
+        for b in range(1026):
+            c = counts.get(b, 0)
+            if acc + c >= need:
+                need -= acc
+                hi = min(hi, lo + (b + 1) * width - 1)
+                lo = lo + b * width
+                break
+            acc += c
+    final = sorted(
+        (int(r["s"]), int(r["n"]))
+        for r in (
+            sl.where((F.col("s") >= lo) & (F.col("s") <= hi))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    )
+    acc = 0
+    for v, c in final:
+        acc += c
+        if acc >= need:
+            return v
+    raise AssertionError("rank walked past the histogram")  # unreachable

@@ -869,17 +869,35 @@ def test_winnowing_is_row_local(spark, sf_dir):
 
 
 def test_theil_sen_distributed_median(spark, sf_dir):
-    """The lower median of the C(n,2) slopes must stay a DISTRIBUTED
-    exact percentile over the parallel nested-loop pair stream — a
-    regression to the global row_number form funnels every slope into
-    one task (Window.orderBy without partitionBy = single-partition
-    exchange; 670M rows for a century of days)."""
-    plan = _plan(spark, sf_dir, "theil_sen_trend")
-    assert "percentile" in plan
-    assert "Window" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
-    # the day rollup materializes once (checkpoint), not once per branch
-    assert "Scan ExistingRDD" in plan
+    """The C(n,2) slope stage must stay row-local array expansion over
+    the broadcast day series (no Window: the global row_number form
+    funnels every slope into one task — 670M rows for a century of
+    days; no sort-merge join: the day pair space must never shuffle),
+    and the median machinery must perform only BOUNDED collects
+    (histogram bisection: ≤1024-row histograms + ≤4096-row final walk
+    — F.percentile's per-partition value maps grew with the distinct
+    slope count)."""
+    import pyspark.sql.functions as F
+
+    from bikes_data_warehouse_etl_spark.plans.pipeline_ops35 import (
+        _exact_rank_element,
+    )
+    from bikes_data_warehouse_etl_spark.plans.synthetic import QUERIES
+
+    df = QUERIES["theil_sen_trend"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+    # result is a 1-row local relation: the heavy stages already ran
+    # with bounded collects inside the query builder
+    assert df.count() == 1 and len(df.columns) == 3
+
+    # the bisection is exact on an adversarial multiset (dup-heavy,
+    # negative values, rank at a duplicate boundary)
+    vals = [-5] * 10 + [0] * 3 + [7] + [10_000_000] * 5
+    sl = spark.createDataFrame([(v,) for v in vals], "s long")
+    want = sorted(vals)
+    for rank in (1, 10, 11, 13, 14, 19):
+        assert _exact_rank_element(sl, rank) == want[rank - 1]
 
 
 def test_dup_span_census_single_document_scan(spark, sf_dir):
