@@ -291,6 +291,16 @@ def build_edges_snapshot(
     tbl = f"edges_snap_{tag}"
     if spark.catalog.tableExists(tbl):
         return tbl
+    # clear an orphan managed-table location (a previous session's
+    # warehouse dir without a catalog entry): saveAsTable refuses to
+    # claim an existing location even in overwrite mode
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), tbl)
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     from bikes_data_warehouse_etl_spark.sources.sinks import write_bucketed
 
     e = _co_order_edges_inline(spark, sf_dir, min_coorders)

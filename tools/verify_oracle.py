@@ -130,6 +130,13 @@ def main() -> int:
                     "status": "count_match",
                     "rows": int(m.group(2)),
                 }
+            # a TIMEOUT already spent its full --oracle-timeout budget
+            # in the sharded run; the merge pass records it instead of
+            # re-spending 30 min per query (FAILs are NOT reused — they
+            # must re-run)
+            m = _re.match(r"TIMEOUT (\w+): oracle exceeded", line)
+            if m and m.group(1) not in force_rerun:
+                reused[m.group(1)] = {"status": "oracle_timeout"}
 
     import __spark_entry__ as e
     from bikes_data_warehouse_etl_spark.session import get_spark
@@ -187,6 +194,10 @@ def main() -> int:
             if r["status"] == "count_match":
                 n_count += 1
                 print(f"PASS-COUNT {name}: {r['rows']} rows (resumed)")
+            elif r["status"] == "oracle_timeout":
+                n_oracle += 1
+                timeouts.append(name)
+                print(f"TIMEOUT {name}: oracle exceeded (resumed)")
             else:
                 n_oracle += 1
                 print(f"PASS {name}: {r['rows']} rows, "
