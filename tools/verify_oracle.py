@@ -149,6 +149,13 @@ def main() -> int:
     duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
     if duck_mem:
         con.execute(f"SET memory_limit='{duck_mem}'")
+    # sharded runs MUST give each worker its own spill dir: concurrent
+    # DuckDB processes default to <cwd>/.tmp and clobber each other's
+    # temp files (observed as IO errors / aborts in the sf10 shards)
+    duck_tmp = os.environ.get("SPARK_GRAFT_DUCK_TMP")
+    if duck_tmp:
+        os.makedirs(duck_tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{duck_tmp}'")
     for t in TABLES:
         # driver testdata is single-file parquet; Spark-written sets
         # (tools/make_sf1.py) are directories of part files — DuckDB
