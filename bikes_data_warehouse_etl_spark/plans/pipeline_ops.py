@@ -346,8 +346,13 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _SQL_COMPONENTS = f"""
     WITH RECURSIVE
-    pairs AS (SELECT id_a, id_b FROM ({_SQL_NEARDUP})),
-    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+    -- MATERIALIZED is load-bearing (the co_order_edges precedent,
+    -- pipeline_ops16.sql_coorder_edge_ctes): DuckDB inlines plain CTEs
+    -- per reference, so the recursive reach join re-executed the full
+    -- shingle self-join EVERY iteration — observed as a 70 GB spill at
+    -- sf10 where the materialized pair set is a few thousand rows.
+    pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({_SQL_NEARDUP})),
+    edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
               UNION ALL SELECT id_b, id_a FROM pairs),
     reach AS (
         SELECT src AS node, src AS r FROM edges

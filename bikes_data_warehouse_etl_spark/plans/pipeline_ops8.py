@@ -248,8 +248,14 @@ def q_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _SQL_FUZZY_CLUSTERS = f"""
     WITH RECURSIVE
-    pairs AS (SELECT id_a, id_b FROM ({_sql_fuzzy_pairs_adaptive}) fp),
-    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+    -- MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    -- reference, so the recursive reach join re-ran the FULL blocked
+    -- levenshtein self-join every iteration (aborted the sf10 gate
+    -- after 25 min; the materialized pair set is thousands of rows)
+    pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM ({_sql_fuzzy_pairs_adaptive}) fp),
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
               UNION ALL SELECT id_b, id_a FROM pairs),
     reach AS (
         SELECT src AS node, src AS r FROM edges
