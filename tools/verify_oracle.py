@@ -98,6 +98,15 @@ def main() -> int:
         i = args.index("--oracle-timeout")
         oracle_timeout = float(args[i + 1])
         del args[i : i + 2]
+    reuse_fail: set[str] = set()
+    if "--reuse-fail" in args:
+        # --reuse-fail a,b: let --resume reuse a recorded FAIL line for
+        # exactly these queries (e.g. a DuckDB out-of-memory on an
+        # oracle that is infeasible at this sf) instead of re-running
+        # it. Opt-in and name-scoped — ordinary FAILs always re-run.
+        i = args.index("--reuse-fail")
+        reuse_fail = set(args[i + 1].split(","))
+        del args[i : i + 2]
     if "--resume" in args:
         # --resume LOG [name ...]: reuse PASS results recorded in a
         # previous run's stdout log (long sf1 runs die to one slow
@@ -137,6 +146,12 @@ def main() -> int:
             m = _re.match(r"TIMEOUT (\w+): oracle exceeded", line)
             if m and m.group(1) not in force_rerun:
                 reused[m.group(1)] = {"status": "oracle_timeout"}
+            m = _re.match(r"FAIL (\w+): duckdb error: (.*)", line)
+            if m and m.group(1) in reuse_fail:
+                reused[m.group(1)] = {
+                    "status": "duckdb_error",
+                    "error": m.group(2)[:200],
+                }
 
     import __spark_entry__ as e
     from bikes_data_warehouse_etl_spark.session import get_spark
@@ -205,6 +220,10 @@ def main() -> int:
                 n_oracle += 1
                 timeouts.append(name)
                 print(f"TIMEOUT {name}: oracle exceeded (resumed)")
+            elif r["status"] == "duckdb_error":
+                n_oracle += 1
+                failures.append(name)
+                print(f"FAIL {name}: duckdb error: {r['error']} (resumed)")
             else:
                 n_oracle += 1
                 print(f"PASS {name}: {r['rows']} rows, "
