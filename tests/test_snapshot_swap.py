@@ -288,3 +288,39 @@ def test_pipeline_scd2_crash_mid_swap_keeps_old_state(
         )
     )
     assert a == b and len(a) == 43  # one new SCD2 version row
+
+
+def test_vacuum_tool_reclaims_warehouse(spark, tmp_path):
+    """tools/vacuum.py end-to-end: discovers snapshot tables by their
+    manifests, vacuums beyond keep_last, removes orphan scratch dirs
+    only with drop_orphans — and the live tables stay readable."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import vacuum as vac
+
+    root = str(tmp_path / "wh")
+    os.makedirs(os.path.join(root, "nested"))
+    t1 = os.path.join(root, "t1")
+    t2 = os.path.join(root, "nested", "t2")
+    for t, vals in ((t1, [1]), (t2, [10])):
+        for i, v in enumerate(vals + [99, 100]):
+            snapshot.commit_snapshot(t, _write_snapshot(spark, t, [v]))
+    assert len(snapshot.list_snapshots(t1)) == 2  # grace window
+    orphan = os.path.join(root, "edges_snap_deadbeef")
+    os.makedirs(orphan)
+
+    rep = vac.vacuum_root(root, keep_last=1, dry_run=True)
+    assert rep["snapshot_tables"] == 2
+    assert len(rep["would_remove_snapshots"]) == 2
+    assert rep["orphan_dirs"] == [orphan]
+    assert os.path.isdir(orphan)  # dry run touches nothing
+    assert len(snapshot.list_snapshots(t1)) == 2
+
+    rep = vac.vacuum_root(root, keep_last=1, drop_orphans=True)
+    assert len(rep["removed_snapshots"]) == 2
+    assert rep["removed_orphans"] == [orphan]
+    assert not os.path.isdir(orphan)
+    assert len(snapshot.list_snapshots(t1)) == 1
+    assert _read_vals(spark, t1) == [100]
+    assert _read_vals(spark, t2) == [100]
