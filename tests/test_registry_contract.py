@@ -69,3 +69,38 @@ def test_no_rows_only_queries_declared():
 def test_registry_size_floor():
     # the declared surface never silently shrinks
     assert len(QUERIES) >= 300
+
+
+def test_canonical_hash_dtype_robust():
+    """ADVICE r7: the vectorized hash must not depend on which physical
+    dtype an engine returned — int64 vs object ints vs integral
+    Decimals, nullable Int64-with-NA vs NaN-float, native bool vs
+    object bool all hash identically; genuinely different values do
+    not."""
+    import decimal
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from verify_oracle import canonical_hash
+
+    base = pd.DataFrame({"k": [1, 2, 3], "v": pd.array([10, 20, 30], dtype="int64")})
+    as_obj = pd.DataFrame({"k": [1, 2, 3], "v": pd.Series([10, 20, 30], dtype=object)})
+    as_dec = pd.DataFrame(
+        {"k": [1, 2, 3],
+         "v": pd.Series([decimal.Decimal(x) for x in (10, 20, 30)], dtype=object)}
+    )
+    assert canonical_hash(base) == canonical_hash(as_obj) == canonical_hash(as_dec)
+
+    with_na_int = pd.DataFrame({"v": pd.array([5, None, 7], dtype="Int64")})
+    with_na_flt = pd.DataFrame({"v": pd.Series([5.0, float("nan"), 7.0])})
+    assert canonical_hash(with_na_int) == canonical_hash(with_na_flt)
+
+    b_native = pd.DataFrame({"v": pd.Series([True, False, True])})
+    b_object = pd.DataFrame({"v": pd.Series([True, False, True], dtype=object)})
+    assert canonical_hash(b_native) == canonical_hash(b_object)
+
+    # sanity: different values still differ
+    other = pd.DataFrame({"k": [1, 2, 3], "v": pd.array([10, 20, 31], dtype="int64")})
+    assert canonical_hash(base) != canonical_hash(other)

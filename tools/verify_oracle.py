@@ -28,6 +28,51 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 
+def _norm_object_col(s: pd.Series) -> pd.Series:
+    """Dtype-robust normalization of an object column (ADVICE r7):
+    DuckDB returns HUGEINT/DECIMAL results as object columns of Python
+    ints/Decimals while Spark's twin is native int64 — the raw
+    astype(str) path made identical values hash differently. Integral
+    object columns normalize to int64 (same hash as a native int
+    column); numeric-with-nulls normalizes through the float64 string
+    form (same hash as the classic NaN-float column the other engine
+    yields for a nullable numeric); anything else keeps str()."""
+    import decimal
+
+    import numpy as np
+
+    nn = s.dropna()
+    sample = nn.iloc[:1000]
+    if len(sample):
+        # bool before int: isinstance(True, int) is True
+        if all(isinstance(v, (bool, np.bool_)) for v in sample):
+            return s.astype(str)
+        is_integral = all(
+            isinstance(v, (int, np.integer))
+            or (
+                isinstance(v, decimal.Decimal)
+                and v == v.to_integral_value()
+            )
+            for v in sample
+        )
+        if is_integral and not s.isna().any():
+            try:
+                return s.map(int).astype("int64")
+            except (TypeError, ValueError, OverflowError):
+                pass
+        if all(
+            isinstance(
+                v, (int, float, decimal.Decimal, np.integer, np.floating)
+            )
+            for v in sample
+        ):
+            try:
+                return s.astype("float64").round(6).astype(str)
+            except (TypeError, ValueError, OverflowError):
+                pass
+    return s.astype(str)
+
+
 def canonical_hash(df: pd.DataFrame) -> tuple[int, tuple, str]:
     """Order-insensitive value hash: per-row 64-bit hashes (columns in
     sorted-name order), sorted as a uint64 multiset, sha256'd.
@@ -35,10 +80,12 @@ def canonical_hash(df: pd.DataFrame) -> tuple[int, tuple, str]:
     Vectorized end to end — the previous python-level
     ``sorted(map(tuple, ...))`` + ``repr`` canonicalization was
     O(minutes and tens of GB) on the 60M-row sf10 outputs; this path
-    hashes the same logical multiset in seconds. Normalization
-    semantics are unchanged: floats round to 6dp then compare by
-    string repr, datetimes by microsecond value, integer WIDTH is
-    normalized to int64 (int32 vs int64 printed identically before),
+    hashes the same logical multiset in seconds. Normalization: floats
+    round to 6dp then compare by string repr, datetimes by microsecond
+    value, integer WIDTH normalized to int64, object columns of
+    ints/Decimals normalized to the matching numeric form (see
+    ``_norm_object_col``), nullable ints with NA through the float
+    string form (the other engine's NaN-float column), bools by str,
     everything else by str()."""
     import numpy as np
 
@@ -49,13 +96,24 @@ def canonical_hash(df: pd.DataFrame) -> tuple[int, tuple, str]:
         if s.dtype.kind == "f":
             s = s.round(6).astype(str)
         elif s.dtype.kind in "iu":
-            s = s.astype("int64")
+            if s.isna().any():
+                # pandas nullable Int64 with NA: astype('int64') raises;
+                # normalize through the float string form so it hashes
+                # like the classic NaN-float column the twin produces
+                s = s.astype("float64").round(6).astype(str)
+            else:
+                s = s.astype("int64")
         elif s.dtype.kind == "M":
             # string norm, NOT epoch ints: pandas drops midnight times
             # in str form, which is exactly how a datetime64 DuckDB
             # DATE lines up with Spark's object datetime.date column
             s = s.astype("datetime64[us]").astype(str)
-        elif s.dtype.kind != "b":
+        elif s.dtype.kind == "b":
+            # native-bool vs object-bool columns must hash identically
+            s = s.astype(str)
+        elif s.dtype.kind == "O":
+            s = _norm_object_col(s)
+        else:
             s = s.astype(str)
         col_h = pd.util.hash_pandas_object(s, index=False).to_numpy(
             dtype="uint64", copy=True
