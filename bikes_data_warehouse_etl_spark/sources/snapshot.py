@@ -215,6 +215,12 @@ def commit_snapshot(path: str, staged: str, retain: int | None = None) -> None:
     repair_table(path, keep=(snap_name,), retain=retain)
 
     legacy = os.path.isdir(path) and not os.path.islink(path)
+    # the snapshot readers may be mid-scan on RIGHT NOW — the one the
+    # grace window must protect. Pinning it by name (rather than
+    # trusting newest-id retention) matters after a crashed commit: an
+    # uncommitted staged orphan can carry a HIGHER id than the live
+    # snapshot and would otherwise win the retention slot.
+    prev_live = read_manifest(path)
 
     # step 2 — manifest commit point
     mtmp = _manifest_path(path) + ".tmp"
@@ -230,13 +236,21 @@ def commit_snapshot(path: str, staged: str, retain: int | None = None) -> None:
         # GC protocol owns), then install the symlink. The manifest
         # above already names the NEW snapshot, so a crash in this
         # window is repaired forward to the new state.
-        _fs_rename(path, _aside_path(path))
+        aside = _aside_path(path)
+        _fs_rename(path, aside)
         _fs_fsync_dir(os.path.dirname(path) or ".")
+        prev_live = os.path.basename(aside)  # the pre-migration state
 
     # step 3 — atomic reader flip
     _point_symlink(path, snap_name)
-    # step 4 — grace-period GC of superseded snapshots
-    _gc(path, (snap_name,), retain=retain)
+    # step 4 — grace-period GC of superseded snapshots: keep the new
+    # snapshot, the previous LIVE one (reader grace), then fill any
+    # remaining retention slots by newest id
+    keep = [snap_name]
+    retain_n = _retain() if retain is None else max(1, int(retain))
+    if retain_n >= 2 and prev_live and prev_live != snap_name:
+        keep.append(prev_live)
+    _gc(path, keep, retain=max(0, retain_n - len(keep)))
 
 
 def current_snapshot(path: str) -> str | None:

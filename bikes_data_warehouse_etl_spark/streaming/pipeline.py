@@ -447,6 +447,17 @@ def run_streaming_dedup_to_memory(
     q.awaitTermination()
 
 
+def _mid_batch_fault(batch_id: int) -> None:
+    """Test seam, no-op in production: invoked between the physical
+    writes of every foreachBatch commit so the checkpoint-restart
+    fault test can kill a batch MID-commit (the same indirection
+    pattern as sources/snapshot._fs_*). The restart test proves the
+    prose claim below: at-least-once replay + idempotent per-batch
+    writes converge to the same table state as an unbroken run
+    (tests/test_streaming_restart.py)."""
+    return None
+
+
 def run_scd1_stream(
     spark: SparkSession,
     source_dir: str,
@@ -476,6 +487,7 @@ def run_scd1_stream(
             merged = batch.dropDuplicates(list(keys))
         staged = snapshot.next_snapshot_path(target_path)
         merged.write.mode("overwrite").parquet(staged)
+        _mid_batch_fault(batch_id)  # crash point: staged but uncommitted
         snapshot.commit_snapshot(target_path, staged)
 
     q = (
@@ -571,6 +583,7 @@ def run_ingest_dedup_stream(
         audit.write.mode("overwrite").parquet(
             f"{audit_path}/batch_id={batch_id}"
         )
+        _mid_batch_fault(batch_id)  # crash point: audit written, corpus not
         keep = cls.filter(F.col("dedup_class") == "novel").drop(
             "__h__", "__grp_min__", "__in_base__", "dedup_class"
         )

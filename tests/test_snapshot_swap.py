@@ -324,3 +324,23 @@ def test_vacuum_tool_reclaims_warehouse(spark, tmp_path):
     assert len(snapshot.list_snapshots(t1)) == 1
     assert _read_vals(spark, t1) == [100]
     assert _read_vals(spark, t2) == [100]
+
+
+def test_grace_window_protects_previous_live_not_orphans(spark, tmp_path):
+    """After a crashed commit leaves an UNCOMMITTED staged orphan with
+    a higher id than the live snapshot, the next successful commit's
+    grace window must keep the previous LIVE snapshot (what in-flight
+    readers hold) and GC the orphan — not the other way round."""
+    path = str(tmp_path / "t")
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [1, 2]))
+    prev_live = snapshot.current_snapshot(path)
+
+    # a staged snapshot that never commits (crash before manifest)
+    orphan = _write_snapshot(spark, path, [7])
+
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [8]))
+    assert _read_vals(spark, path) == [8]
+    kept = set(snapshot.list_snapshots(path))
+    assert prev_live in kept, "previous live snapshot lost its grace slot"
+    assert orphan not in kept, "uncommitted orphan survived GC"
+    assert len(kept) == 2
