@@ -20,17 +20,24 @@ from bikes_data_warehouse_etl_spark.plans.synthetic import _q, _t
 # Clamped running balance: Lindley reflection vs naive simulation
 # ---------------------------------------------------------------------------
 _SQL_INVENTORY = """
-    WITH RECURSIVE dem AS (
+    WITH RECURSIVE dem AS MATERIALIZED (
         SELECT l_partkey AS pk,
                CAST(EXTRACT(YEAR FROM l_shipdate) * 12
                     + EXTRACT(MONTH FROM l_shipdate) - 1 AS BIGINT) AS mabs,
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
         FROM lineitem GROUP BY 1, 2),
-    bounds AS (
+    bounds AS MATERIALIZED (
         SELECT MIN(mabs) AS lo, MAX(mabs) AS hi,
                MAX(mabs) - MIN(mabs) + 1 AS nm
         FROM dem),
-    repl AS (
+    -- MATERIALIZED is load-bearing on all three (the r7 sf10 lesson,
+    -- same as neardup_components): they are referenced inside the
+    -- recursive term, and DuckDB 1.0 inlines plain CTEs per reference
+    -- — every one of the ~84 month iterations re-scanned and
+    -- re-aggregated the full lineitem table, which is what spilled
+    -- >74 GB at sf10. Materialized, each iteration joins a computed-
+    -- once demand census instead.
+    repl AS MATERIALIZED (
         SELECT pk, CAST(SUM(d) // (SELECT nm FROM bounds) AS BIGINT) AS r
         FROM dem GROUP BY 1),
     sim AS (
