@@ -22,14 +22,17 @@ _AR_MIN_SUPPORT = 3
 _AR_TOP = 25
 
 _SQL_ASSOC_RULES = f"""
-    WITH lp AS (
+    WITH lp AS MATERIALIZED (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    n_ord AS (
+    n_ord AS MATERIALIZED (
         SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM lp),
-    item AS (
+    item AS MATERIALIZED (
         SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
         FROM lp GROUP BY 1),
-    cpair AS (
+    -- lp is referenced three times (n_ord, item, both cpair
+    -- sides); without MATERIALIZED DuckDB re-ran the 60M-row
+    -- DISTINCT per reference — the r7 sf10 timeout
+    cpair AS MATERIALIZED (
         -- candidate-bounded core (the certified copurchase_pairs
         -- shape): CANONICAL u<v pairs, support-filtered BEFORE the
         -- directional mirror — support is symmetric so the >= filter

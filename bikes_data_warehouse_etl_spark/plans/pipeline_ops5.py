@@ -136,17 +136,23 @@ def _sql_minhash_accuracy() -> str:
         f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(8)
     )
     return f"""
-    WITH shingled AS (
+    WITH
+    -- MATERIALIZED throughout (the r7/r8 sf10 lesson): DuckDB 1.0
+    -- inlines plain CTEs per reference — sig alone is referenced six
+    -- times (4 bands + 2 final joins), so the full 8-minhash shingle
+    -- derivation re-ran six times and the oracle timed out its 1800 s
+    -- sf10 budget. Materialized, each derivation runs once.
+    shingled AS MATERIALIZED (
       SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
-    sig AS (
+    sig AS MATERIALIZED (
       SELECT doc_id, {sig_cols}
       FROM shingled WHERE len(sh) > 0),
-    banded AS ({union_bands}),
-    sized AS (
+    banded AS MATERIALIZED ({union_bands}),
+    sized AS MATERIALIZED (
       SELECT * FROM (
         SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bucket_n
         FROM banded) WHERE bucket_n <= 50),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(COUNT(*) AS BIGINT) AS band_matches
       FROM sized a JOIN sized b ON a.band = b.band AND a.bucket = b.bucket
@@ -155,13 +161,14 @@ def _sql_minhash_accuracy() -> str:
     sh_str AS (
       SELECT doc_id AS id, unnest(list_distinct({_SQL_SHINGLES})) AS s
       FROM documents),
-    sh AS (SELECT id, {_sql_hash64('s')} AS s FROM sh_str),
-    sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
-    pairs AS (
+    sh AS MATERIALIZED (SELECT id, {_sql_hash64('s')} AS s FROM sh_str),
+    sizes AS MATERIALIZED (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
+    pairs AS MATERIALIZED (
       SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
       FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
       GROUP BY a.id, b.id),
-    exact AS (
+    exact AS MATERIALIZED (
       SELECT id_a, id_b,
              CAST(FLOOR(common * 10000 / (sa.n_sh + sb.n_sh - common))
                  AS BIGINT) AS exact_bp
