@@ -157,6 +157,19 @@ def next_snapshot_path(path: str) -> str:
     return f"{path}__snap-{top + 1}"
 
 
+def _symlink_live(path: str) -> str | None:
+    """Basename of the snapshot the table SYMLINK currently targets —
+    what in-flight readers actually resolve. After a crash between the
+    manifest write and the symlink flip this LAGS the manifest; any GC
+    that runs while repairing must grace-protect it by name (a reader
+    was on it until the instant of the re-point)."""
+    if os.path.islink(path):
+        target = os.readlink(path)
+        if _SNAP_RE.search(target):
+            return os.path.basename(target)
+    return None
+
+
 def _aside_path(path: str) -> str:
     """Where a legacy plain directory is renamed during migration:
     ``__snap-0`` the first time; if that name is already taken (a
@@ -210,16 +223,22 @@ def commit_snapshot(path: str, staged: str, retain: int | None = None) -> None:
     for this commit (default: env / 2)."""
     path = path.rstrip("/")
     snap_name = os.path.basename(staged)
+    # the snapshots readers may be mid-scan on RIGHT NOW — the ones the
+    # grace window must protect. Pinning by name (rather than trusting
+    # newest-id retention) matters after a crashed commit: an
+    # uncommitted staged orphan can carry a HIGHER id than the live
+    # snapshot and would otherwise win the retention slot. BOTH the
+    # manifest value and the PRE-REPAIR symlink target are pinned —
+    # after a crash between manifest write and symlink flip they
+    # differ, readers are on the symlink's snapshot until the entry
+    # repair below re-points it, and they must survive THIS commit's
+    # GC too (captured before the repair, which moves the symlink).
+    sym_live = _symlink_live(path)
     # converge any prior half-commit first — but never GC the incoming
     # snapshot we are about to commit
     repair_table(path, keep=(snap_name,), retain=retain)
 
     legacy = os.path.isdir(path) and not os.path.islink(path)
-    # the snapshot readers may be mid-scan on RIGHT NOW — the one the
-    # grace window must protect. Pinning it by name (rather than
-    # trusting newest-id retention) matters after a crashed commit: an
-    # uncommitted staged orphan can carry a HIGHER id than the live
-    # snapshot and would otherwise win the retention slot.
     prev_live = read_manifest(path)
 
     # step 2 — manifest commit point
@@ -244,12 +263,14 @@ def commit_snapshot(path: str, staged: str, retain: int | None = None) -> None:
     # step 3 — atomic reader flip
     _point_symlink(path, snap_name)
     # step 4 — grace-period GC of superseded snapshots: keep the new
-    # snapshot, the previous LIVE one (reader grace), then fill any
+    # snapshot, the previous LIVE one(s) (reader grace), then fill any
     # remaining retention slots by newest id
     keep = [snap_name]
     retain_n = _retain() if retain is None else max(1, int(retain))
-    if retain_n >= 2 and prev_live and prev_live != snap_name:
-        keep.append(prev_live)
+    if retain_n >= 2:
+        for prev in (sym_live, prev_live):
+            if prev and prev != snap_name and prev not in keep:
+                keep.append(prev)
     _gc(path, keep, retain=max(0, retain_n - len(keep)))
 
 
@@ -275,19 +296,28 @@ def resolve_for_read(path: str) -> str:
 
 
 def vacuum(
-    path: str, keep_last: int = 1, older_than: float | None = None
+    path: str,
+    keep_last: int = 1,
+    older_than: float | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Reclaim superseded snapshots beyond the grace window. Keeps the
-    newest ``keep_last`` snapshots by id and ALWAYS the live one; with
+    newest ``keep_last`` snapshots by id, ALWAYS the live one, and
+    ALWAYS the manifest's snapshot (they differ mid-repair); with
     ``older_than`` (seconds), additionally spares any snapshot whose
     mtime is within that window — the explicit reader-grace knob for
-    long scans. Returns the list of removed snapshot dirs."""
+    long scans. Returns the list of removed snapshot dirs (with
+    ``dry_run``, the list that WOULD be removed, nothing touched —
+    same selection logic, one source of truth for tools/vacuum.py)."""
     path = path.rstrip("/")
     live = current_snapshot(path)
     snaps = list_snapshots(path)
     keep = set()
     if live is not None:
         keep.add(os.path.basename(live))
+    cur = read_manifest(path)
+    if cur:
+        keep.add(cur)
     keep_last = max(1, int(keep_last))
     keep.update(os.path.basename(s) for s in snaps[-keep_last:])
     cutoff = None if older_than is None else time.time() - float(older_than)
@@ -301,7 +331,8 @@ def vacuum(
                     continue
             except OSError:
                 pass
-        _fs_rmtree(snap, ignore_errors=True)
+        if not dry_run:
+            _fs_rmtree(snap, ignore_errors=True)
         removed.append(snap)
     return removed
 
@@ -316,6 +347,12 @@ def repair_table(path: str, keep=(), retain: int | None = None) -> str | None:
     path = path.rstrip("/")
     cur = read_manifest(path)
     snaps = list_snapshots(path)
+    # the snapshot readers are resolving RIGHT NOW (pre-repair symlink
+    # target): every GC below must grace-protect it by name — after a
+    # crash between manifest write and symlink flip it LAGS the
+    # manifest, and re-pointing must not strand an in-flight scan
+    sym_live = _symlink_live(path)
+    grace = {sym_live, *keep} - {None}
 
     if cur is None:
         # never committed through this module: legacy dir or nothing
@@ -324,7 +361,7 @@ def repair_table(path: str, keep=(), retain: int | None = None) -> str | None:
         if os.path.islink(path) and snaps:
             # orphan symlink without manifest: trust the newest snap
             _point_symlink(path, os.path.basename(snaps[-1]))
-            _gc(path, {os.path.basename(snaps[-1]), *keep}, retain=retain)
+            _gc(path, {os.path.basename(snaps[-1]), *grace}, retain=retain)
             return snaps[-1]
         return None
 
@@ -348,5 +385,5 @@ def repair_table(path: str, keep=(), retain: int | None = None) -> str | None:
             _fs_fsync_dir(os.path.dirname(path) or ".")
     if not (os.path.islink(path) and os.readlink(path) == cur):
         _point_symlink(path, cur)
-    _gc(path, {cur, *keep}, retain=retain)
+    _gc(path, {cur, *grace}, retain=retain)
     return cur_abs

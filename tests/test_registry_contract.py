@@ -104,3 +104,28 @@ def test_canonical_hash_dtype_robust():
     # sanity: different values still differ
     other = pd.DataFrame({"k": [1, 2, 3], "v": pd.array([10, 20, 31], dtype="int64")})
     assert canonical_hash(base) != canonical_hash(other)
+
+
+def test_canonical_hash_big_null_ints_never_collapse():
+    """Self-review r8: nullable 64-bit hash columns must NOT normalize
+    through float64 (low bits collapse above 2^53 — a corrupted hash
+    would false-PASS). Large ints with nulls hash exactly; small ones
+    keep the float-string pairing with a NaN-float twin."""
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from verify_oracle import canonical_hash
+
+    a = (1 << 62) + 1
+    big_a = pd.DataFrame({"v": pd.array([a, None], dtype="Int64")})
+    big_b = pd.DataFrame({"v": pd.array([a + 1, None], dtype="Int64")})
+    assert canonical_hash(big_a) != canonical_hash(big_b)
+    # object-int form of the same column hashes identically
+    big_obj = pd.DataFrame({"v": pd.Series([a, None], dtype=object)})
+    assert canonical_hash(big_a) == canonical_hash(big_obj)
+    # small ints keep the NaN-float pairing
+    small_int = pd.DataFrame({"v": pd.array([5, None], dtype="Int64")})
+    small_flt = pd.DataFrame({"v": pd.Series([5.0, float("nan")])})
+    assert canonical_hash(small_int) == canonical_hash(small_flt)

@@ -344,3 +344,83 @@ def test_grace_window_protects_previous_live_not_orphans(spark, tmp_path):
     assert prev_live in kept, "previous live snapshot lost its grace slot"
     assert orphan not in kept, "uncommitted orphan survived GC"
     assert len(kept) == 2
+
+
+def test_repair_grace_protects_symlink_target_after_crashed_commit(
+    spark, tmp_path
+):
+    """Self-review r8 finding: after a crash BETWEEN manifest write and
+    symlink flip, readers are still on the SYMLINK's snapshot (which
+    lags the manifest). The next commit's entry-repair re-points the
+    symlink — it must grace-protect the pre-repair symlink target by
+    name, not let newest-id retention GC it under an in-flight scan."""
+    path = str(tmp_path / "t")
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [1]))   # snap-1
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [2]))   # snap-2
+
+    # simulate the crash window: snap-3 fully staged, manifest names it,
+    # symlink still on snap-2
+    staged = _write_snapshot(spark, path, [3])
+    with open(path + "__CURRENT", "w") as f:
+        f.write(os.path.basename(staged) + "\n")
+    assert snapshot.read_manifest(path) != os.readlink(path)
+
+    reader_snap = os.path.join(
+        os.path.dirname(path), os.readlink(path)
+    )  # what readers resolve RIGHT NOW (snap-2)
+    reader = spark.read.parquet(reader_snap)
+
+    # daily job restarts: stages snap-4 and commits (entry repair flips
+    # the symlink to snap-3, then the commit lands snap-4)
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [4]))
+    assert _read_vals(spark, path) == [4]
+
+    # the reader's snapshot survived both the repair GC and the commit GC
+    assert os.path.isdir(reader_snap), "reader-held snapshot was GC'd"
+    assert sorted(r["v"] for r in reader.collect()) == [2]
+
+
+def test_vacuum_tool_never_touches_pattern_named_snapshot_tables(
+    spark, tmp_path
+):
+    """Self-review r8: a snapshot-layout TABLE whose name matches an
+    orphan pattern (bench_*, edges_snap_*) must never be classified as
+    scratch — neither its live snapshot dirs nor the table itself."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import vacuum as vac
+
+    root = str(tmp_path / "wh")
+    os.makedirs(root)
+    t = os.path.join(root, "bench_results")
+    snapshot.commit_snapshot(t, _write_snapshot(spark, t, [1]))
+    snapshot.commit_snapshot(t, _write_snapshot(spark, t, [2]))
+    orphan = os.path.join(root, "bench_scratch")
+    os.makedirs(orphan)
+
+    rep = vac.vacuum_root(root, keep_last=1, drop_orphans=True)
+    assert rep["removed_orphans"] == [orphan]
+    # the table survived: live snapshot intact, superseded one vacuumed
+    assert _read_vals(spark, t) == [2]
+    assert len(snapshot.list_snapshots(t)) == 1
+
+
+def test_vacuum_tool_dry_run_respects_older_than(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    os.makedirs(root)
+    t = os.path.join(root, "t")
+    snapshot.commit_snapshot(t, _write_snapshot(spark, t, [1]))
+    snapshot.commit_snapshot(t, _write_snapshot(spark, t, [2]))
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import vacuum as vac
+
+    # fresh snapshots + a 1h grace: dry run must report NOTHING (it
+    # previously ignored older_than and over-reported)
+    rep = vac.vacuum_root(root, keep_last=1, older_than=3600, dry_run=True)
+    assert rep["would_remove_snapshots"] == []
+    rep = vac.vacuum_root(root, keep_last=1, older_than=0, dry_run=True)
+    assert len(rep["would_remove_snapshots"]) == 1
+    assert len(snapshot.list_snapshots(t)) == 2  # dry run touched nothing

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -77,7 +78,7 @@ def main() -> int:
         "queries": {
             a: {
                 "min_s": round(min(v), 3),
-                "median_s": round(sorted(v)[len(v) // 2], 3),
+                "median_s": round(statistics.median(v), 3),
                 "all": [round(x, 3) for x in v],
                 "calibrated_min": round(min(v) / cal_min, 3),
             }

@@ -51,6 +51,7 @@ def main() -> int:
     tbl = build_edges_snapshot(spark, sf_dir)
     build_s = round(time.perf_counter() - t0, 1)
 
+    prior = os.environ.get("SPARK_GRAFT_EDGE_SNAPSHOT")
     os.environ["SPARK_GRAFT_EDGE_SNAPSHOT"] = "1"
     try:
         times: dict[str, list[float]] = {q: [] for q in FAMILY}
@@ -64,7 +65,10 @@ def main() -> int:
                 unpersist_all(spark)
                 print(f"{q}: {times[q][-1]:.2f}s", file=sys.stderr)
     finally:
-        del os.environ["SPARK_GRAFT_EDGE_SNAPSHOT"]
+        if prior is None:
+            del os.environ["SPARK_GRAFT_EDGE_SNAPSHOT"]
+        else:
+            os.environ["SPARK_GRAFT_EDGE_SNAPSHOT"] = prior
 
     doc = {
         "sf_dir": sf_dir,

@@ -60,7 +60,13 @@ def find_snapshot_tables(root: str) -> list[str]:
 
 
 def find_orphan_dirs(root: str, older_than: float | None = None) -> list[str]:
-    """Top-level scratch dirs matching ORPHAN_PATTERNS (mtime-gated)."""
+    """Top-level scratch dirs matching ORPHAN_PATTERNS (mtime-gated).
+
+    Never classifies anything owned by the snapshot layout as an
+    orphan: ``*__snap-N`` dirs belong to their table's retention/vacuum
+    lifecycle (a pattern-named table like ``bench_results__snap-3``
+    would otherwise be rmtree'd out from under its live symlink), and a
+    dir with a sibling ``__CURRENT`` manifest IS a snapshot table."""
     try:
         names = os.listdir(root)
     except FileNotFoundError:
@@ -70,7 +76,11 @@ def find_orphan_dirs(root: str, older_than: float | None = None) -> list[str]:
     for name in sorted(names):
         if not any(fnmatch.fnmatch(name, p) for p in ORPHAN_PATTERNS):
             continue
+        if "__snap-" in name or name.endswith(("__CURRENT", "__lnk.tmp")):
+            continue  # snapshot-layout artifact, owned by snapshot.vacuum
         full = os.path.join(root, name)
+        if os.path.exists(full + "__CURRENT"):
+            continue  # a snapshot TABLE that happens to match a pattern
         if not os.path.isdir(full) or os.path.islink(full):
             continue
         if cutoff is not None and os.path.getmtime(full) >= cutoff:
@@ -90,18 +100,10 @@ def vacuum_root(
     removed_snaps: list[str] = []
     would_remove_snaps: list[str] = []
     for t in tables:
-        if dry_run:
-            live = snapshot.current_snapshot(t)
-            keep = {os.path.basename(live)} if live else set()
-            snaps = snapshot.list_snapshots(t)
-            keep.update(os.path.basename(s) for s in snaps[-max(1, keep_last):])
-            would_remove_snaps += [
-                s for s in snaps if os.path.basename(s) not in keep
-            ]
-        else:
-            removed_snaps += snapshot.vacuum(
-                t, keep_last=keep_last, older_than=older_than
-            )
+        got = snapshot.vacuum(
+            t, keep_last=keep_last, older_than=older_than, dry_run=dry_run
+        )
+        (would_remove_snaps if dry_run else removed_snaps).extend(got)
     orphans = find_orphan_dirs(root, older_than=older_than)
     removed_orphans: list[str] = []
     if drop_orphans and not dry_run:

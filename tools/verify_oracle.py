@@ -28,6 +28,23 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 
+def _null_int_col(s: pd.Series) -> pd.Series:
+    """Integral column containing nulls. Below 2^53 every value is
+    exact in float64, so the float string form ('5.0', 'nan') pairs
+    with the NaN-float column the other engine typically returns for a
+    nullable integer. AT OR ABOVE 2^53 a float round-trip collapses
+    low bits — 64-bit hash values differing only there would
+    false-PASS the gate — so large-magnitude columns use exact
+    per-element strings instead (worst case a false FAIL on an exotic
+    dtype pairing, never a false PASS)."""
+    nn = s.dropna()
+    big = len(nn) and any(abs(int(v)) >= (1 << 53) for v in nn)
+    if big:
+        return s.map(lambda v: "\0null" if pd.isna(v) else str(int(v)))
+    # to_numeric handles object series holding pd.NA/None/Decimal
+    return pd.to_numeric(s, errors="coerce").astype("float64").round(6).astype(str)
+
+
 def _norm_object_col(s: pd.Series) -> pd.Series:
     """Dtype-robust normalization of an object column (ADVICE r7):
     DuckDB returns HUGEINT/DECIMAL results as object columns of Python
@@ -55,11 +72,14 @@ def _norm_object_col(s: pd.Series) -> pd.Series:
             )
             for v in sample
         )
-        if is_integral and not s.isna().any():
-            try:
-                return s.map(int).astype("int64")
-            except (TypeError, ValueError, OverflowError):
-                pass
+        if is_integral:
+            if not s.isna().any():
+                try:
+                    return s.map(int).astype("int64")
+                except (TypeError, ValueError, OverflowError):
+                    pass
+            else:
+                return _null_int_col(s)
         if all(
             isinstance(
                 v, (int, float, decimal.Decimal, np.integer, np.floating)
@@ -98,9 +118,9 @@ def canonical_hash(df: pd.DataFrame) -> tuple[int, tuple, str]:
         elif s.dtype.kind in "iu":
             if s.isna().any():
                 # pandas nullable Int64 with NA: astype('int64') raises;
-                # normalize through the float string form so it hashes
-                # like the classic NaN-float column the twin produces
-                s = s.astype("float64").round(6).astype(str)
+                # magnitude-aware normalization (_null_int_col) — float
+                # string form below 2^53, exact strings above
+                s = _null_int_col(s.astype(object))
             else:
                 s = s.astype("int64")
         elif s.dtype.kind == "M":
