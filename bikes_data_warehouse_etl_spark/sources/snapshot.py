@@ -48,6 +48,14 @@ tests prove. On a real cluster/object store this module is the seam
 you replace with Delta/Iceberg transactional commits — same
 manifest-pointer idea, same retention/vacuum lifecycle, same plans.
 
+Writers serialize on a per-table advisory flock (``<path>__lck``):
+commits, repairs, and vacuums are mutually exclusive, snapshot-id
+reservation happens under the lock (concurrent writers stage into
+distinct dirs), GC never reclaims ids above the committed one (another
+writer's in-flight staging), and racing commits resolve
+last-committer-wins — proven by a 4-process commit-hammer test.
+Readers never take the lock; the atomic symlink is their isolation.
+
 Legacy plain-directory tables are migrated on their first commit via
 ``migrate in commit_snapshot``: the manifest records intent BEFORE the
 directory is renamed aside (to ``__snap-0``, or the next free snapshot
@@ -62,6 +70,7 @@ planned-but-unfinished scan across a commit.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import re
 import shutil
@@ -106,6 +115,34 @@ def _fsync_dir(dirpath: str) -> None:
 _fs_fsync_dir = _fsync_dir
 
 
+@contextlib.contextmanager
+def _writer_lock(path: str):
+    """Exclusive per-table writer lock (flock on ``<path>__lck``): the
+    commit protocol is single-writer — two concurrent commits (or a
+    vacuum racing a commit) could interleave repair/flip/GC steps and
+    strand the symlink or reclaim a just-committed snapshot. Commits,
+    repairs, and vacuums serialize here; READERS never take it (the
+    atomic symlink is their isolation). Advisory flock: correct for
+    processes on one host, the local-FS analog of the table-format
+    commit lock Delta/Iceberg provide on a cluster. No-ops (with a
+    plain open file) on platforms without fcntl."""
+    lock_path = path.rstrip("/") + "__lck"
+    parent = os.path.dirname(lock_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)  # first commit creates the tree
+    f = open(lock_path, "a+")
+    try:
+        try:
+            import fcntl
+
+            fcntl.flock(f.fileno(), fcntl.LOCK_EX)
+        except ImportError:
+            pass
+        yield
+    finally:
+        f.close()  # closing drops the flock
+
+
 def _manifest_path(path: str) -> str:
     return path.rstrip("/") + "__CURRENT"
 
@@ -140,11 +177,24 @@ def list_snapshots(path: str) -> list[str]:
     return [p for _, p in sorted(out)]
 
 
-def next_snapshot_path(path: str) -> str:
-    """A fresh snapshot dir name (does not create it). Strictly above
-    every on-disk snapshot id AND the manifest's id, so a replayed
-    commit after a crash never reuses a possibly-half-written dir."""
+def next_snapshot_path(path: str, reserve: bool = True) -> str:
+    """A fresh snapshot dir name, strictly above every on-disk
+    snapshot id AND the manifest's id, so a replayed commit after a
+    crash never reuses a possibly-half-written dir. By default the dir
+    is CREATED under the table's writer lock — the reservation makes
+    concurrent writers pick distinct ids instead of staging into the
+    same directory (Spark's overwrite write is fine with a
+    pre-existing empty dir). A reserved dir whose commit never lands
+    is an orphan the next successful commit's GC reclaims."""
     path = path.rstrip("/")
+    with _writer_lock(path):
+        cand = _next_snapshot_unlocked(path)
+        if reserve:
+            os.makedirs(cand, exist_ok=True)
+        return cand
+
+
+def _next_snapshot_unlocked(path: str) -> str:
     top = 0
     for snap in list_snapshots(path):
         m = _SNAP_RE.search(snap)
@@ -155,6 +205,13 @@ def next_snapshot_path(path: str) -> str:
         if m:
             top = max(top, int(m.group(1)))
     return f"{path}__snap-{top + 1}"
+
+
+def _snap_id(name: str | None) -> int | None:
+    if not name:
+        return None
+    m = _SNAP_RE.search(name)
+    return int(m.group(1)) if m else None
 
 
 def _symlink_live(path: str) -> str | None:
@@ -179,7 +236,9 @@ def _aside_path(path: str) -> str:
     aside = f"{path}__snap-0"
     if not os.path.lexists(aside):
         return aside
-    return next_snapshot_path(path)
+    # callers hold the writer lock already — use the unlocked allocator
+    # (the rename that follows claims the name)
+    return _next_snapshot_unlocked(path)
 
 
 def _point_symlink(path: str, snap_basename: str) -> None:
@@ -204,15 +263,24 @@ def _point_symlink(path: str, snap_basename: str) -> None:
 def _gc(path: str, keep_basenames, retain: int | None = None) -> None:
     """Remove snapshot dirs outside the retention window. Always keeps
     ``keep_basenames`` (the live/incoming snapshots) plus the newest
-    ``retain`` dirs by id — the reader-grace window."""
+    ``retain`` dirs by id — the reader-grace window. Ids ABOVE the
+    manifest's are never reclaimed: they are another writer's in-flight
+    staging (or a crashed attempt) — the next successful commit carries
+    a higher id still and reclaims them then."""
     retain = _retain() if retain is None else max(0, int(retain))
     snaps = list_snapshots(path)
     keep = set(keep_basenames)
     if retain:
         keep.update(os.path.basename(s) for s in snaps[-retain:])
+    live_id = _snap_id(read_manifest(path))
     for snap in snaps:
-        if os.path.basename(snap) not in keep:
-            _fs_rmtree(snap, ignore_errors=True)
+        name = os.path.basename(snap)
+        if name in keep:
+            continue
+        sid = _snap_id(name)
+        if live_id is not None and sid is not None and sid > live_id:
+            continue
+        _fs_rmtree(snap, ignore_errors=True)
 
 
 def commit_snapshot(path: str, staged: str, retain: int | None = None) -> None:
@@ -220,8 +288,15 @@ def commit_snapshot(path: str, staged: str, retain: int | None = None) -> None:
     state of table ``path``. Crash-safe at every step (see module
     docstring); call ``repair_table(path)`` after a crash (commit also
     self-repairs on entry). ``retain`` overrides the GC grace window
-    for this commit (default: env / 2)."""
+    for this commit (default: env / 2). Serialized against concurrent
+    commits/repairs/vacuums by the per-table writer lock —
+    last-committer-wins when writers race."""
     path = path.rstrip("/")
+    with _writer_lock(path):
+        _commit_locked(path, staged, retain)
+
+
+def _commit_locked(path: str, staged: str, retain: int | None) -> None:
     snap_name = os.path.basename(staged)
     # the snapshots readers may be mid-scan on RIGHT NOW — the ones the
     # grace window must protect. Pinning by name (rather than trusting
@@ -236,7 +311,7 @@ def commit_snapshot(path: str, staged: str, retain: int | None = None) -> None:
     sym_live = _symlink_live(path)
     # converge any prior half-commit first — but never GC the incoming
     # snapshot we are about to commit
-    repair_table(path, keep=(snap_name,), retain=retain)
+    _repair_locked(path, keep=(snap_name,), retain=retain)
 
     legacy = os.path.isdir(path) and not os.path.islink(path)
     prev_live = read_manifest(path)
@@ -308,33 +383,43 @@ def vacuum(
     mtime is within that window — the explicit reader-grace knob for
     long scans. Returns the list of removed snapshot dirs (with
     ``dry_run``, the list that WOULD be removed, nothing touched —
-    same selection logic, one source of truth for tools/vacuum.py)."""
+    same selection logic, one source of truth for tools/vacuum.py).
+    Ids above the manifest's are never reclaimed (another writer's
+    in-flight staging). Takes the per-table writer lock."""
     path = path.rstrip("/")
-    live = current_snapshot(path)
-    snaps = list_snapshots(path)
-    keep = set()
-    if live is not None:
-        keep.add(os.path.basename(live))
-    cur = read_manifest(path)
-    if cur:
-        keep.add(cur)
-    keep_last = max(1, int(keep_last))
-    keep.update(os.path.basename(s) for s in snaps[-keep_last:])
-    cutoff = None if older_than is None else time.time() - float(older_than)
-    removed = []
-    for snap in snaps:
-        if os.path.basename(snap) in keep:
-            continue
-        if cutoff is not None:
-            try:
-                if os.path.getmtime(snap) >= cutoff:
-                    continue
-            except OSError:
-                pass
-        if not dry_run:
-            _fs_rmtree(snap, ignore_errors=True)
-        removed.append(snap)
-    return removed
+    with _writer_lock(path):
+        live = current_snapshot(path)
+        snaps = list_snapshots(path)
+        keep = set()
+        if live is not None:
+            keep.add(os.path.basename(live))
+        cur = read_manifest(path)
+        if cur:
+            keep.add(cur)
+        keep_last = max(1, int(keep_last))
+        keep.update(os.path.basename(s) for s in snaps[-keep_last:])
+        live_id = _snap_id(cur)
+        cutoff = (
+            None if older_than is None else time.time() - float(older_than)
+        )
+        removed = []
+        for snap in snaps:
+            name = os.path.basename(snap)
+            if name in keep:
+                continue
+            sid = _snap_id(name)
+            if live_id is not None and sid is not None and sid > live_id:
+                continue  # in-flight staging of a concurrent writer
+            if cutoff is not None:
+                try:
+                    if os.path.getmtime(snap) >= cutoff:
+                        continue
+                except OSError:
+                    pass
+            if not dry_run:
+                _fs_rmtree(snap, ignore_errors=True)
+            removed.append(snap)
+        return removed
 
 
 def repair_table(path: str, keep=(), retain: int | None = None) -> str | None:
@@ -343,8 +428,14 @@ def repair_table(path: str, keep=(), retain: int | None = None) -> str | None:
     half-done legacy migration, and GC orphan snapshot dirs outside
     the retention window (and never any in ``keep`` — an in-flight
     staged snapshot). Returns the live snapshot dir (absolute) or None
-    if no table exists. Idempotent; safe to call on a healthy table."""
+    if no table exists. Idempotent; safe to call on a healthy table.
+    Takes the per-table writer lock."""
     path = path.rstrip("/")
+    with _writer_lock(path):
+        return _repair_locked(path, keep=keep, retain=retain)
+
+
+def _repair_locked(path: str, keep=(), retain: int | None = None) -> str | None:
     cur = read_manifest(path)
     snaps = list_snapshots(path)
     # the snapshot readers are resolving RIGHT NOW (pre-repair symlink

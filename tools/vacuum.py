@@ -24,8 +24,10 @@ scratch dirs are matched by ``ORPHAN_PATTERNS`` at the top level of
 ROOT and only removed with ``--drop-orphans`` (mtime-gated by
 ``--older-than``). Prints ONE JSON summary line.
 
-No SparkSession needed — pure driver-side FS walk, safe to run between
-suite runs (never concurrently with a job writing the same tables).
+No SparkSession needed — pure driver-side FS walk. Safe to run even
+while jobs are committing: snapshot.vacuum serializes on each table's
+writer lock and never reclaims in-flight staging (ids above the
+manifest's) or anything inside the grace window.
 """
 
 from __future__ import annotations
