@@ -10,6 +10,12 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Tests commit snapshots seconds apart and assert count-retention GC
+# outcomes; the production time floor (SPARK_GRAFT_SNAPSHOT_MIN_AGE,
+# default 600 s) would keep everything and mask those assertions. Zero
+# it here; the time-floor tests opt back in via monkeypatch.setenv.
+os.environ.setdefault("SPARK_GRAFT_SNAPSHOT_MIN_AGE", "0")
+
 
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):

@@ -129,3 +129,115 @@ def test_canonical_hash_big_null_ints_never_collapse():
     small_int = pd.DataFrame({"v": pd.array([5, None], dtype="Int64")})
     small_flt = pd.DataFrame({"v": pd.Series([5.0, float("nan")])})
     assert canonical_hash(small_int) == canonical_hash(small_flt)
+
+
+def test_dist_hash_fold_matches_across_engines(spark, tmp_path):
+    """The distributed commutative md5-fold (verify_oracle
+    dist_hash_exprs) must produce IDENTICAL (count, sum) scalars in
+    Spark and DuckDB for the supported dtypes — ints, strings, dates,
+    booleans, with nulls — and differ when one value differs. This is
+    the tier that value-certifies over-budget result sets (372M-row
+    fuzzy_name_pairs at sf10) without materializing them."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    from verify_oracle import dist_hash_exprs
+
+    rows = [
+        (1, "alpha", "2024-01-31", True),
+        (2, None, "1999-12-01", False),
+        (None, "géo", None, None),
+        (4, "x\ny", "2024-01-31", True),
+    ]
+    pq = str(tmp_path / "t.parquet")
+    sdf = spark.createDataFrame(
+        rows, "k long, s string, d string, b boolean"
+    ).selectExpr("k", "s", "CAST(d AS DATE) AS d", "b")
+    sdf.coalesce(1).write.parquet(pq)
+
+    cols = sorted(sdf.columns)
+    aggs, duck_tpl = dist_hash_exprs(cols)
+    srow = spark.read.parquet(pq).agg(*aggs).collect()[0]
+
+    con = duckdb.connect()
+    orow = con.execute(
+        duck_tpl.format(oracle=f"SELECT * FROM read_parquet('{pq}/*.parquet')")
+    ).fetchone()
+    assert (int(srow["n"]), int(srow["hsum"])) == (int(orow[0]), int(orow[1]))
+
+    # sensitivity: one changed value must change the fold
+    orow2 = con.execute(
+        duck_tpl.format(
+            oracle=(
+                "SELECT CASE WHEN k = 4 THEN 5 ELSE k END AS k, s, d, b "
+                f"FROM read_parquet('{pq}/*.parquet')"
+            )
+        )
+    ).fetchone()
+    assert int(orow2[1]) != int(srow["hsum"])
+
+    # a NULL must hash differently from its sentinel-free absence
+    orow3 = con.execute(
+        duck_tpl.format(
+            oracle=(
+                "SELECT k, s, d, b FROM "
+                f"read_parquet('{pq}/*.parquet') WHERE k IS NOT NULL"
+            )
+        )
+    ).fetchone()
+    assert (int(orow3[0]), int(orow3[1])) != (int(srow["n"]), int(srow["hsum"]))
+
+
+def test_dist_hash_refuses_float_columns(spark):
+    """Floats/decimals/timestamps have engine-divergent text forms; the
+    dist-hash tier must refuse them loudly (false-FAIL direction), not
+    hash them (verify_oracle._DIST_HASH_DTYPES)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from verify_oracle import _DIST_HASH_DTYPES
+
+    df = spark.createDataFrame([(1, 2.5)], "k long, v double")
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() not in _DIST_HASH_DTYPES
+    ]
+    assert bad == ["v"]
+
+
+def test_canonical_hash_coerce_cannot_false_pass(monkeypatch):
+    """Advisor r8: an object column that looks integral in the
+    1000-row classifier sample but holds NON-numeric garbage beyond it
+    must not hash as if the garbage were null (to_numeric(coerce)
+    would NaN it silently). The numeric normalization is accepted only
+    when coercion introduces zero new NaNs; otherwise exact strings —
+    a false FAIL at worst, never a false PASS."""
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from verify_oracle import canonical_hash
+
+    n = 1200  # beyond the 1000-row classifier sample
+    ints = list(range(n))
+    garbage = ints[:-1] + ["not-a-number"]
+    nulled = ints[:-1] + [None]
+    with_garbage = pd.DataFrame(
+        {"v": pd.Series(garbage, dtype=object), "k": range(n)}
+    )
+    with_null = pd.DataFrame(
+        {"v": pd.Series(nulled, dtype=object), "k": range(n)}
+    )
+    assert canonical_hash(with_garbage) != canonical_hash(with_null)
+
+    # and the clean nullable column still pairs with its float twin
+    # (the normalization itself was not broken by the guard)
+    clean = pd.DataFrame({"v": pd.Series(ints[:-1] + [None], dtype=object)})
+    flt = pd.DataFrame(
+        {"v": pd.Series([float(v) for v in ints[:-1]] + [float("nan")])}
+    )
+    assert canonical_hash(clean) == canonical_hash(flt)

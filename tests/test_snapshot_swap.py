@@ -186,7 +186,12 @@ def test_crash_at_every_step_leaves_readable_table(
         )
     assert _read_vals(spark, path) == [7, 8, 9]
     # grace-period GC keeps at most the retention window (live + 1
-    # previous by default) plus nothing else
+    # previous by default) plus crashed-writer staging whose
+    # reservation marker is still fresh (GC-proof until the TTL —
+    # indistinguishable from a live concurrent writer); expiring the
+    # TTL and repairing bounds the set again
+    monkeypatch.setenv("SPARK_GRAFT_RESERVATION_TTL", "0")
+    snapshot.repair_table(path)
     assert len(snapshot.list_snapshots(path)) <= 2
     live = snapshot.current_snapshot(path)
     assert live is not None and os.path.basename(live) == snapshot.read_manifest(path)
@@ -326,17 +331,24 @@ def test_vacuum_tool_reclaims_warehouse(spark, tmp_path):
     assert _read_vals(spark, t2) == [100]
 
 
-def test_grace_window_protects_previous_live_not_orphans(spark, tmp_path):
+def test_grace_window_protects_previous_live_not_orphans(
+    spark, tmp_path, monkeypatch
+):
     """After a crashed commit leaves an UNCOMMITTED staged orphan with
     a higher id than the live snapshot, the next successful commit's
     grace window must keep the previous LIVE snapshot (what in-flight
-    readers hold) and GC the orphan — not the other way round."""
+    readers hold) and GC the orphan — not the other way round. The
+    orphan's reservation marker is expired first (TTL=0): a FRESH
+    marker now means a live concurrent writer and is deliberately
+    protected (see test_concurrent_staging_survives_other_writers_gc)."""
     path = str(tmp_path / "t")
     snapshot.commit_snapshot(path, _write_snapshot(spark, path, [1, 2]))
     prev_live = snapshot.current_snapshot(path)
 
-    # a staged snapshot that never commits (crash before manifest)
+    # a staged snapshot that never commits (crash before manifest);
+    # its writer is long dead — the reservation TTL has expired
     orphan = _write_snapshot(spark, path, [7])
+    monkeypatch.setenv("SPARK_GRAFT_RESERVATION_TTL", "0")
 
     snapshot.commit_snapshot(path, _write_snapshot(spark, path, [8]))
     assert _read_vals(spark, path) == [8]
@@ -424,6 +436,152 @@ def test_vacuum_tool_dry_run_respects_older_than(spark, tmp_path):
     rep = vac.vacuum_root(root, keep_last=1, older_than=0, dry_run=True)
     assert len(rep["would_remove_snapshots"]) == 1
     assert len(snapshot.list_snapshots(t)) == 2  # dry run touched nothing
+
+
+def test_concurrent_staging_survives_other_writers_gc(spark, tmp_path):
+    """Advisor round-8 HIGH finding: writer A reserves snap-N and is
+    still staging (a big Spark write takes minutes) while writer B
+    reserves snap-N+1 and commits FIRST. B's commit-time GC sees
+    N <= new live id N+1 and, before the fix, rmtree'd A's dir
+    mid-write; A's commit then pointed the manifest at a deleted dir.
+    The reservation marker makes A's staging GC-proof until A commits
+    (or the marker's TTL expires)."""
+    path = str(tmp_path / "t")
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [1]))
+
+    # writer A reserves and "is still staging" (nothing written yet —
+    # the worst case: an empty reserved dir looks maximally orphan-like)
+    staged_a = snapshot.next_snapshot_path(path)
+    assert os.path.isfile(staged_a + "__rsv")
+
+    # writer B reserves a HIGHER id, commits, and GC runs twice more
+    # (two full commits roll the retention window past A's id)
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [2]))
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [3]))
+    assert _read_vals(spark, path) == [3]
+    assert os.path.isdir(staged_a), "in-flight staging was GC'd"
+
+    # vacuum (the other GC path with the same hole) must also spare it
+    snapshot.vacuum(path, keep_last=1)
+    assert os.path.isdir(staged_a), "vacuum reclaimed in-flight staging"
+
+    # A finishes staging and commits — the table serves A's data and
+    # the marker is gone
+    spark.createDataFrame([(7,)], "v long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staged_a)
+    snapshot.commit_snapshot(path, staged_a)
+    assert _read_vals(spark, path) == [7]
+    assert not os.path.exists(staged_a + "__rsv")
+
+
+def test_stale_reservation_is_reclaimed(spark, tmp_path, monkeypatch):
+    """A reservation whose writer died (marker older than the TTL) is
+    an orphan again: the next commit's GC reclaims dir AND marker."""
+    path = str(tmp_path / "t")
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [1]))
+    dead = _write_snapshot(spark, path, [9])  # staged, never commits
+    monkeypatch.setenv("SPARK_GRAFT_RESERVATION_TTL", "0")
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [2]))
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [3]))
+    assert not os.path.isdir(dead)
+    assert not os.path.exists(dead + "__rsv")
+    assert _read_vals(spark, path) == [3]
+
+
+def test_commit_refuses_missing_staged_dir(spark, tmp_path):
+    """Advisor round-8: committing a staged path that does not exist
+    must raise AT COMMIT TIME, never produce a manifest naming a
+    missing dir that only fails when a reader trips over it."""
+    path = str(tmp_path / "t")
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [1]))
+    before = snapshot.read_manifest(path)
+    with pytest.raises(FileNotFoundError, match="refusing to commit"):
+        snapshot.commit_snapshot(path, f"{path}__snap-99")
+    # table unchanged and still readable
+    assert snapshot.read_manifest(path) == before
+    assert _read_vals(spark, path) == [1]
+
+
+def test_min_age_floor_protects_rapid_commit_span(
+    spark, tmp_path, monkeypatch
+):
+    """Judge round-8 residual #3: count-based retention (keep newest 2)
+    loses a reader whose scan spans TWO rapid commits. With the time
+    floor (production default 600 s) all snapshots younger than the
+    floor survive commit-time GC, so the pinned reader completes; the
+    explicit vacuum knob still reclaims on demand."""
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT_MIN_AGE", "600")
+    path = str(tmp_path / "t")
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [1]))
+
+    pinned = snapshot.resolve_for_read(path)  # reader plans its scan
+    reader = spark.read.parquet(pinned)
+
+    # two MORE commits land before the scan finishes — count-retention
+    # alone (live + previous) would have reclaimed the pinned snapshot
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [2]))
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [3]))
+    assert len(snapshot.list_snapshots(path)) == 3  # floor kept all
+    assert sorted(r["v"] for r in reader.collect()) == [1]
+    assert _read_vals(spark, path) == [3]
+
+    # vacuum's explicit older_than overrides the floor (operator knob)
+    snapshot.vacuum(path, keep_last=1, older_than=0)
+    assert len(snapshot.list_snapshots(path)) == 1
+
+
+def test_fsync_sweep_runs_before_manifest_commit(
+    spark, tmp_path, monkeypatch
+):
+    """SPARK_GRAFT_SNAPSHOT_FSYNC=1 (power-loss durability): the
+    content sweep must complete BEFORE the step-2 manifest rename —
+    otherwise the manifest could name a snapshot whose data never hit
+    stable storage — and a crash INSIDE the sweep must leave the old
+    state live with the manifest un-advanced."""
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT_FSYNC", "1")
+    path = str(tmp_path / "t")
+    calls: list[str] = []
+    real_sync = snapshot._fs_sync_contents
+    real_replace = snapshot._fs_replace
+
+    def rec_sync(staged):
+        calls.append(("sync", staged))
+        return real_sync(staged)
+
+    def rec_replace(src, dst):
+        calls.append(("replace", dst))
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(snapshot, "_fs_sync_contents", rec_sync)
+    monkeypatch.setattr(snapshot, "_fs_replace", rec_replace)
+    staged = _write_snapshot(spark, path, [1, 2])
+    snapshot.commit_snapshot(path, staged)
+    assert _read_vals(spark, path) == [1, 2]
+    sync_i = next(i for i, c in enumerate(calls) if c[0] == "sync")
+    manifest_i = next(
+        i for i, c in enumerate(calls)
+        if c[0] == "replace" and c[1].endswith("__CURRENT")
+    )
+    assert calls[sync_i][1] == staged
+    assert sync_i < manifest_i, "manifest committed before data fsync"
+
+    # crash inside the sweep: old state stays live, manifest unmoved
+    before = snapshot.read_manifest(path)
+
+    def boom(_staged):
+        raise Crash("power-loss sweep died")
+
+    monkeypatch.setattr(snapshot, "_fs_sync_contents", boom)
+    staged2 = _write_snapshot(spark, path, [9])
+    with pytest.raises(Crash):
+        snapshot.commit_snapshot(path, staged2)
+    assert snapshot.read_manifest(path) == before
+    assert _read_vals(spark, path) == [1, 2]
+    # re-run without the fault converges
+    monkeypatch.setattr(snapshot, "_fs_sync_contents", real_sync)
+    snapshot.commit_snapshot(path, staged2)
+    assert _read_vals(spark, path) == [9]
 
 
 def _hammer_commits(args):

@@ -159,6 +159,24 @@ def bench_pipeline(spark, work: str, n_rep: int) -> dict:
     p2.refresh_dw()
     t5 = time.time()
 
+    # paired A/B for the OPT-IN power-loss fsync sweep
+    # (SPARK_GRAFT_SNAPSHOT_FSYNC=1): replay the day-2 ODS refresh
+    # twice against identical state (the SCD rewrites re-stage and
+    # re-commit every table even when the source is unchanged, so both
+    # replays do the same physical write work) — once without the
+    # sweep, once with. The delta is the measured cost of making every
+    # commit power-loss durable on this FS.
+    t6 = time.time()
+    p2.load_ods()
+    t7 = time.time()
+    os.environ["SPARK_GRAFT_SNAPSHOT_FSYNC"] = "1"
+    try:
+        t8 = time.time()
+        p2.load_ods()
+        t9 = time.time()
+    finally:
+        del os.environ["SPARK_GRAFT_SNAPSHOT_FSYNC"]
+
     n_items = spark.read.parquet(os.path.join(wh, "ods", "salesorderitems")).count()
     n_fact = spark.read.parquet(os.path.join(wh, "dw", "ordr_dtl_fct")).count()
     return {
@@ -169,6 +187,8 @@ def bench_pipeline(spark, work: str, n_rep: int) -> dict:
         "day1_dw_s": round(t2 - t1, 2),
         "day2_ods_s": round(t4 - t3, 2),
         "day2_dw_s": round(t5 - t4, 2),
+        "day2_ods_replay_s": round(t7 - t6, 2),
+        "day2_ods_replay_fsync_s": round(t9 - t8, 2),
         "total_s": round(t5 - t0 - (t3 - t2), 2),
     }
 

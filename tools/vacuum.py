@@ -85,8 +85,16 @@ def find_orphan_dirs(root: str, older_than: float | None = None) -> list[str]:
             continue  # a snapshot TABLE that happens to match a pattern
         if not os.path.isdir(full) or os.path.islink(full):
             continue
-        if cutoff is not None and os.path.getmtime(full) >= cutoff:
-            continue
+        if cutoff is not None:
+            # the tool is documented safe to run while jobs commit: a
+            # dir can vanish between listdir and stat — skip it rather
+            # than abort the whole run (advisor r8; matches the same
+            # guard inside snapshot.vacuum)
+            try:
+                if os.path.getmtime(full) >= cutoff:
+                    continue
+            except OSError:
+                continue
         out.append(full)
     return out
 

@@ -7,6 +7,17 @@ floats rounded to 6dp before hashing to absorb summation-order noise —
 queries themselves already round displayed doubles to 2dp).
 
 Usage: python tools/verify_oracle.py [sf_dir] [query ...]
+       [--dist-hash a,b] [--count-only a,b] [--oracle-timeout S]
+       [--resume LOG [rerun ...]] [--reuse-fail a,b] [--merge]
+
+``--dist-hash`` value-certifies over-budget result sets without ever
+materializing them: both engines compute an order-insensitive per-row
+md5 fold fully distributed (Spark DECIMAL(38,0) sum / DuckDB HUGEINT
+sum) and two scalars are compared — the hash-tier upgrade of the old
+count-only path. ``--merge`` (with a query filter) folds the results
+into the existing CORRECTNESS artifact for this sf and recomputes its
+counters, so a single-query tier upgrade at sf10 does not need a
+multi-hour full re-run.
 
 Writes the full per-query matrix to ``CORRECTNESS_local.json`` (repo
 root) when run without a query filter, so the verified surface is a
@@ -36,13 +47,33 @@ def _null_int_col(s: pd.Series) -> pd.Series:
     low bits — 64-bit hash values differing only there would
     false-PASS the gate — so large-magnitude columns use exact
     per-element strings instead (worst case a false FAIL on an exotic
-    dtype pairing, never a false PASS)."""
-    nn = s.dropna()
-    big = len(nn) and any(abs(int(v)) >= (1 << 53) for v in nn)
+    dtype pairing, never a false PASS).
+
+    Two advisor-r8 hardenings, both vectorized (this path runs on
+    60M-row sf10 outputs): (1) the numeric normalization is accepted
+    only if coercion introduced NO new NaNs (coerced-NaN count ==
+    original null count) — otherwise non-numeric values beyond the
+    classifier's sample would silently hash as nulls, a false PASS;
+    (2) the 2^53 magnitude trigger is a vectorized ``abs().max()``
+    instead of a per-element Python scan. The float trigger is exact
+    at the boundary: any true >= 2^53 integer coerces to a float
+    >= 2^53 (nearest-even never rounds below it), so the trigger can
+    only fire when it should."""
+    try:
+        # to_numeric handles object series holding pd.NA/None/Decimal
+        num = pd.to_numeric(s, errors="coerce")
+        coerce_broke = int(num.isna().sum()) != int(s.isna().sum())
+    except (TypeError, ValueError, OverflowError):
+        num, coerce_broke = None, True
+    if coerce_broke:
+        # not actually numeric end-to-end: exact per-element strings
+        # (false-FAIL direction — the gate's stated worst case)
+        return s.map(lambda v: "\0null" if pd.isna(v) else str(v))
+    nn = num.dropna()
+    big = len(nn) and float(nn.abs().max()) >= float(1 << 53)
     if big:
         return s.map(lambda v: "\0null" if pd.isna(v) else str(int(v)))
-    # to_numeric handles object series holding pd.NA/None/Decimal
-    return pd.to_numeric(s, errors="coerce").astype("float64").round(6).astype(str)
+    return num.astype("float64").round(6).astype(str)
 
 
 def _norm_object_col(s: pd.Series) -> pd.Series:
@@ -91,6 +122,74 @@ def _norm_object_col(s: pd.Series) -> pd.Series:
             except (TypeError, ValueError, OverflowError):
                 pass
     return s.astype(str)
+
+
+_HEX15 = "0123456789abcdef"
+
+
+def _duck_hex15_terms(col: str = "h") -> str:
+    """DuckDB SQL parsing a 15-char lowercase hex string as a BIGINT —
+    an explicit base-16 polynomial (DuckDB cannot CAST '0x…' strings,
+    and its md5_number_* variants are byte-swapped relative to the hex
+    form, so the portable meeting point with Spark's ``conv(x, 16, 10)``
+    is plain positional arithmetic). 15 hex chars < 2^60: exact in
+    BIGINT on both engines."""
+    return " + ".join(
+        f"(strpos('{_HEX15}', substr({col}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (15 - 1 - i)}"
+        for i in range(15)
+    )
+
+
+# Spark dtypes whose CAST(… AS STRING) is bit-identical to DuckDB's
+# CAST(… AS VARCHAR): integers print the same digits, dates print
+# yyyy-MM-dd, booleans print true/false. Floats/decimals/timestamps
+# are deliberately NOT here — their text forms differ in trailing
+# zeros / precision across engines, and a dist-hash over them would
+# false-FAIL (never silently pass). Extend only with a proven pairing.
+_DIST_HASH_DTYPES = {"tinyint", "smallint", "int", "bigint",
+                     "string", "date", "boolean"}
+
+
+def dist_hash_exprs(columns) -> tuple[list, str]:
+    """Build the per-row canonical-string → md5 → 15-hex-char →
+    integer expressions for BOTH engines over the given column names
+    (sorted by the caller). Returns (spark Column list for agg,
+    duckdb SELECT projecting ``n`` and ``hsum``'s inner canon expr).
+
+    The per-row hash folds with an EXACT commutative sum — Spark
+    DECIMAL(38,0), DuckDB HUGEINT; 372M rows × 2^60 ≈ 2^88 « both —
+    so two result multisets compare as two scalars with no driver
+    materialization. Collision bound: differing multisets collide only
+    if their 60-bit-truncated-md5 sums coincide, ~2^-60 per gate for
+    non-adversarial corruption. Caveat (documented, not enforceable
+    cheaply): a value containing the 0x1F separator or the literal
+    sentinel '\\x00null' could alias a neighbor — impossible in these
+    tables' data domains."""
+    from pyspark.sql import functions as F
+
+    canon_s = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+        for c in columns
+    ]
+    h_s = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *canon_s)), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    spark_aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(h_s).alias("hsum"),
+    ]
+    canon_d = ", ".join(
+        f'coalesce(CAST("{c}" AS VARCHAR), chr(0) || \'null\')'
+        for c in columns
+    )
+    duck_sql = (
+        "SELECT COUNT(*) AS n, "
+        f"SUM(CAST({_duck_hex15_terms()} AS HUGEINT)) AS hsum "
+        "FROM (SELECT substr(md5(concat_ws(chr(31), "
+        f"{canon_d})), 1, 15) AS h FROM ({{oracle}}) t0) t1"
+    )
+    return spark_aggs, duck_sql
 
 
 def canonical_hash(df: pd.DataFrame) -> tuple[int, tuple, str]:
@@ -167,6 +266,24 @@ def main() -> int:
         i = args.index("--count-only")
         count_only = set(args[i + 1].split(","))
         del args[i : i + 2]
+    dist_hash: set[str] = set()
+    if "--dist-hash" in args:
+        # --dist-hash a,b,c: VALUE-certify queries whose output is too
+        # large to canonicalize through pandas (the former count-only
+        # tier): both engines compute an order-insensitive per-row
+        # md5-fold (see dist_hash_exprs) fully distributed and compare
+        # two scalars — (row count, exact commutative hash sum). A
+        # dist-hash match is a hash-tier certification, not count-only.
+        i = args.index("--dist-hash")
+        dist_hash = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    merge_artifact = "--merge" in args
+    if merge_artifact:
+        # --merge: with a query filter, update ONLY those entries in
+        # the existing CORRECTNESS artifact for this sf (counters
+        # recomputed from the merged per-query statuses) instead of
+        # requiring a multi-hour full re-run to record one upgrade.
+        args.remove("--merge")
     if "--oracle-timeout" in args:
         # --oracle-timeout S: interrupt a DuckDB oracle after S seconds
         # (some declarative oracle formulations — recursive-CTE
@@ -216,6 +333,13 @@ def main() -> int:
                 reused[m.group(1)] = {
                     "status": "count_match",
                     "rows": int(m.group(2)),
+                }
+            m = _re.match(r"PASS-DIST (\w+): (\d+) rows, fold (\d+)", line)
+            if m and m.group(1) not in force_rerun:
+                reused[m.group(1)] = {
+                    "status": "dist_hash_match",
+                    "rows": int(m.group(2)),
+                    "fold": m.group(3),
                 }
             # a TIMEOUT already spent its full --oracle-timeout budget
             # in the sharded run; the merge pass records it instead of
@@ -294,6 +418,11 @@ def main() -> int:
             if r["status"] == "count_match":
                 n_count += 1
                 print(f"PASS-COUNT {name}: {r['rows']} rows (resumed)")
+            elif r["status"] == "dist_hash_match":
+                print(
+                    f"PASS-DIST {name}: {r['rows']} rows, "
+                    f"fold {r['fold']} (resumed)"
+                )
             elif r["status"] == "oracle_timeout":
                 n_oracle += 1
                 timeouts.append(name)
@@ -306,6 +435,70 @@ def main() -> int:
                 n_oracle += 1
                 print(f"PASS {name}: {r['rows']} rows, "
                       f"hash {r['hash']} (resumed)")
+            continue
+        if name in dist_hash and name in oracles:
+            try:
+                df = fn(spark, sf_dir)
+                bad = [
+                    f"{f.name}:{f.dataType.simpleString()}"
+                    for f in df.schema.fields
+                    if f.dataType.simpleString() not in _DIST_HASH_DTYPES
+                ]
+                if bad:
+                    raise TypeError(
+                        f"dist-hash needs engine-identical string casts; "
+                        f"unsupported column(s): {bad}"
+                    )
+                cols = sorted(df.columns)
+                aggs, duck_tpl = dist_hash_exprs(cols)
+                srow = df.agg(*aggs).collect()[0]
+                s_n = int(srow["n"])
+                s_fold = int(srow["hsum"]) if srow["hsum"] is not None else 0
+            except Exception as ex:
+                print(f"FAIL {name}: spark error: {ex}")
+                failures.append(name)
+                results[name] = {
+                    "status": "spark_error", "error": str(ex)[:200]
+                }
+                continue
+            try:
+                orow = exec_oracle(
+                    duck_tpl.format(oracle=oracles[name])
+                ).fetchone()
+                o_n = int(orow[0])
+                o_fold = int(orow[1]) if orow[1] is not None else 0
+            except duckdb.InterruptException:
+                print(f"TIMEOUT {name}: oracle exceeded {oracle_timeout}s")
+                timeouts.append(name)
+                results[name] = {
+                    "status": "oracle_timeout", "spark_rows": s_n
+                }
+                continue
+            except Exception as ex:
+                print(f"FAIL {name}: duckdb error: {ex}")
+                failures.append(name)
+                results[name] = {
+                    "status": "duckdb_error", "error": str(ex)[:200]
+                }
+                continue
+            if (s_n, s_fold) == (o_n, o_fold):
+                print(f"PASS-DIST {name}: {s_n} rows, fold {s_fold}")
+                results[name] = {
+                    "status": "dist_hash_match",
+                    "rows": s_n,
+                    "fold": str(s_fold),
+                }
+            else:
+                print(
+                    f"FAIL {name}: dist-hash spark=({s_n},{s_fold}) "
+                    f"duckdb=({o_n},{o_fold})"
+                )
+                failures.append(name)
+                results[name] = {
+                    "status": "dist_hash_mismatch",
+                    "spark": [s_n, str(s_fold)],
+                    "duckdb": [o_n, str(o_fold)],
+                }
             continue
         if name in count_only and name in oracles:
             n_count += 1
@@ -401,47 +594,86 @@ def main() -> int:
         for r in results.values()
         if r["status"] in ("mismatch", "duckdb_error", "oracle_timeout")
     )
+    n_dist = sum(
+        1 for r in results.values() if r["status"] == "dist_hash_match"
+    )
     print(
         f"\n{n_oracle_ok}/{n_oracle} oracle-matched, "
-        f"{n_count} count-only, {n_rows_only} rows-only, "
-        f"{len(timeouts)} oracle-timeouts, {len(failures)} failures"
+        f"{n_dist} dist-hash, {n_count} count-only, "
+        f"{n_rows_only} rows-only, {len(timeouts)} oracle-timeouts, "
+        f"{len(failures)} failures"
     )
-    if not only:
-        # one artifact per scale factor: the driver-gate scale (sf0.01)
-        # keeps the canonical name, other sfs get a suffixed file so an
-        # sf0.1 confirmation run can't clobber the canonical matrix
-        sf_tag = os.path.basename(sf_dir.rstrip("/"))
-        fname = (
-            "CORRECTNESS_local.json"
-            if sf_tag == "sf0.01"
-            else f"CORRECTNESS_local_{sf_tag}.json"
-        )
-        # abspath: a relative __file__ (cd tools && python verify_oracle.py)
-        # would otherwise resolve dirname(dirname(...)) to '' and write
-        # the artifact into the cwd instead of the repo root
-        out = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), fname
-        )
+    # one artifact per scale factor: the driver-gate scale (sf0.01)
+    # keeps the canonical name, other sfs get a suffixed file so an
+    # sf0.1 confirmation run can't clobber the canonical matrix
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fname = (
+        "CORRECTNESS_local.json"
+        if sf_tag == "sf0.01"
+        else f"CORRECTNESS_local_{sf_tag}.json"
+    )
+    # abspath: a relative __file__ (cd tools && python verify_oracle.py)
+    # would otherwise resolve dirname(dirname(...)) to '' and write
+    # the artifact into the cwd instead of the repo root
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), fname
+    )
+    if only and merge_artifact and os.path.exists(out):
+        # fold this filtered run's results into the existing matrix and
+        # recompute every counter from the merged per-query statuses —
+        # one tier upgrade (e.g. count-only → dist-hash at sf10) must
+        # not require re-running all 315 queries for hours
+        with open(out) as f:
+            doc = json.load(f)
+        doc["queries"].update(results)
+        doc.update(_summarize(doc["queries"]))
+        with open(out, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(f"merged {sorted(results)} into {out}")
+    elif not only:
         with open(out, "w") as f:
             json.dump(
-                {
-                    "sf_dir": sf_dir,
-                    "n_queries": len(results),
-                    "n_oracle_matched": n_oracle_ok,
-                    "n_count_only": n_count,
-                    "n_rows_only": n_rows_only,
-                    "n_oracle_timeouts": len(timeouts),
-                    "oracle_timeouts": timeouts,
-                    "n_failures": len(failures),
-                    "failures": failures,
-                    "queries": results,
-                },
+                {"sf_dir": sf_dir, "queries": results,
+                 **_summarize(results)},
                 f,
                 indent=1,
                 sort_keys=True,
             )
         print(f"wrote {out}")
     return 1 if failures else 0
+
+
+def _summarize(results: dict[str, dict]) -> dict:
+    """Summary counters derived purely from per-query statuses, so a
+    --merge'd artifact and a full-run artifact count identically.
+    ``dist_hash_match`` is a VALUE certification (hash tier) and counts
+    in n_oracle_matched, reported separately in n_dist_hash;
+    ``count_match`` stays the weaker count-only tier."""
+    status = {n: r["status"] for n, r in results.items()}
+    timeouts = sorted(n for n, s in status.items() if s == "oracle_timeout")
+    fail_states = {
+        "mismatch", "duckdb_error", "spark_error",
+        "count_mismatch", "dist_hash_mismatch",
+    }
+    failures = sorted(n for n, s in status.items() if s in fail_states)
+    return {
+        "n_queries": len(results),
+        "n_oracle_matched": sum(
+            1 for s in status.values()
+            if s in ("oracle_match", "dist_hash_match")
+        ),
+        "n_dist_hash": sum(
+            1 for s in status.values() if s == "dist_hash_match"
+        ),
+        "n_count_only": sum(
+            1 for s in status.values() if s == "count_match"
+        ),
+        "n_rows_only": sum(1 for s in status.values() if s == "rows_only"),
+        "n_oracle_timeouts": len(timeouts),
+        "oracle_timeouts": timeouts,
+        "n_failures": len(failures),
+        "failures": failures,
+    }
 
 
 if __name__ == "__main__":
