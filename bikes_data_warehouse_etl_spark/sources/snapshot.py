@@ -160,17 +160,16 @@ def _clear_reservation(snap_path: str) -> None:
 
 def _is_reserved(snap_path: str) -> bool:
     """True while the snapshot's reservation marker exists and is
-    fresh (mtime within the TTL). A stale marker is removed here so
-    the caller's GC can reclaim the crashed-writer orphan."""
+    fresh (mtime within the TTL). Pure read — stale markers are
+    removed by the GC paths alongside their dirs, never here (this
+    predicate also runs under ``vacuum(dry_run=True)``, which must
+    touch nothing)."""
     rsv = _reservation_path(snap_path)
     try:
         age = time.time() - os.path.getmtime(rsv)
     except OSError:
         return False
-    if age < _reservation_ttl():
-        return True
-    _clear_reservation(snap_path)
-    return False
+    return age < _reservation_ttl()
 
 
 def _fsync_dir(dirpath: str) -> None:

@@ -472,7 +472,18 @@ def run_scd1_stream(
     merge the batch pipeline uses. The checkpoint gives at-least-once
     batch delivery; the merge is idempotent per batch (re-merging the
     same rows is a no-op), so the combination is effectively
-    exactly-once for the target state."""
+    exactly-once for the target state.
+
+    Retention note for HIGH-FREQUENCY streams: every micro-batch
+    commit is a full-table snapshot, and the commit-time GC keeps
+    snapshots younger than the retention time floor
+    (``SPARK_GRAFT_SNAPSHOT_MIN_AGE``, default 600 s — a batch-refresh
+    default sized for readers whose scans span commits). A
+    seconds-cadence stream therefore accumulates ~floor/cadence
+    snapshots per table between reclamations; deployments with short
+    triggers should lower the floor (streaming readers hold a
+    snapshot for one micro-batch, not minutes) or run
+    ``snapshot.vacuum(older_than=...)`` on a schedule."""
     from bikes_data_warehouse_etl_spark.operators.merge import scd1_merge
     from bikes_data_warehouse_etl_spark.sources import snapshot
 

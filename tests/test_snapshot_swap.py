@@ -489,6 +489,31 @@ def test_stale_reservation_is_reclaimed(spark, tmp_path, monkeypatch):
     assert _read_vals(spark, path) == [3]
 
 
+def test_vacuum_dry_run_never_touches_markers(spark, tmp_path, monkeypatch):
+    """dry_run must be PURE even for stale reservations: the marker
+    predicate runs inside the dry-run selection and must not delete
+    the stale marker as a side effect (self-review r9)."""
+    path = str(tmp_path / "t")
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [1]))
+    dead = _write_snapshot(spark, path, [9])  # staged, never commits
+    # two commits advance the live id PAST the dead reservation (the
+    # id-above-manifest guard no longer protects it); the fresh marker
+    # carries it through both commit GCs
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [2]))
+    snapshot.commit_snapshot(path, _write_snapshot(spark, path, [3]))
+    assert os.path.isdir(dead)
+    monkeypatch.setenv("SPARK_GRAFT_RESERVATION_TTL", "0")  # stale now
+
+    would = snapshot.vacuum(path, keep_last=1, dry_run=True)
+    assert dead in would  # stale reservation IS reclaimable...
+    assert os.path.isdir(dead)  # ...but dry run touched nothing
+    assert os.path.isfile(dead + "__rsv")
+
+    removed = snapshot.vacuum(path, keep_last=1)
+    assert dead in removed
+    assert not os.path.exists(dead + "__rsv")
+
+
 def test_commit_refuses_missing_staged_dir(spark, tmp_path):
     """Advisor round-8: committing a staged path that does not exist
     must raise AT COMMIT TIME, never produce a manifest naming a
