@@ -191,6 +191,38 @@ def latest_bench_json() -> str | None:
     return None
 
 
+def compact_summary(payload: dict) -> dict:
+    """The final stdout line's content: every gate field, NO per-query
+    map, so the driver's ~2000-char tail capture ends with one
+    complete parseable JSON object (BENCH_r02..r08 all recorded
+    parsed: null off the single giant line). Regression lists are the
+    one unbounded field; a pathological all-regressed run is truncated
+    by count — the gate booleans a reader needs survive either way."""
+    s = {
+        k: payload[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "sf",
+            "runs_per_query",
+            "calibration_s",
+            "regressions_vs_r1",
+            "regressions_vs_prev",
+            "latency_budget_s",
+            "over_latency_budget",
+        )
+        if k in payload
+    }
+    for k in ("regressions_vs_r1", "regressions_vs_prev",
+              "over_latency_budget"):
+        if len(s.get(k, [])) > 20:
+            s[k] = s[k][:20] + [f"...+{len(s[k]) - 20} more"]
+    s["queries_n"] = len(payload.get("queries", {}))
+    s["per_query_in"] = "BENCH_latest_full.json"
+    return s
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -261,24 +293,7 @@ def main() -> None:
     # a complete, parseable JSON object. Local tooling keeps using the
     # full line / BENCH_latest_full.json; the two lines never disagree
     # (the compact one is a field-subset of the same payload).
-    summary = {
-        k: payload[k]
-        for k in (
-            "metric",
-            "value",
-            "unit",
-            "sf",
-            "runs_per_query",
-            "calibration_s",
-            "regressions_vs_r1",
-            "regressions_vs_prev",
-            "latency_budget_s",
-            "over_latency_budget",
-        )
-    }
-    summary["queries_n"] = len(timings)
-    summary["per_query_in"] = "BENCH_latest_full.json"
-    print(json.dumps(summary))
+    print(json.dumps(compact_summary(payload)))
     # strict mode (local/CI use): non-zero exit on any per-query regression
     # or absolute-budget breach
     if (regressed_r1 or regressed_prev or over_budget) and os.environ.get(

@@ -1,4 +1,5 @@
-"""The per-query regression gate in bench.py (verdict r1 #10).
+"""The per-query regression gate in bench.py (verdict r1 #10) and the
+driver-parseable compact summary line (verdict r8 #6).
 
 Pure-function tests — the actual timings come from running bench.py at
 sf0.1; here we pin the gate's semantics against the checked-in
@@ -142,3 +143,36 @@ def test_last_committed_bench_is_within_budget():
         if q not in pre_cap
     ]
     assert flagged == []
+
+
+def test_compact_summary_fits_driver_tail_and_parses():
+    """The final bench stdout line must survive a 2000-char tail
+    capture as ONE complete JSON object: no per-query map, bounded
+    regression lists, all gate fields present."""
+    import json
+
+    from bench import compact_summary
+
+    payload = {
+        "metric": "synthetic_query_suite_total",
+        "value": 270.361,
+        "unit": "sec",
+        "queries": {f"q{i}": 0.5 for i in range(315)},
+        "sf": 0.1,
+        "runs_per_query": 3,
+        "calibration_s": 0.922,
+        "regressions_vs_r1": [],
+        "regressions_vs_prev": [f"q{i}" for i in range(40)],  # pathological
+        "latency_budget_s": 5.0,
+        "latency_exceptions": {"dup_span_fraction": 6.0},
+        "over_latency_budget": [],
+    }
+    line = json.dumps(compact_summary(payload))
+    assert len(line) < 1900, len(line)  # headroom inside the 2000 tail
+    parsed = json.loads(line)
+    assert "queries" not in parsed  # the unbounded map stays out
+    assert parsed["queries_n"] == 315
+    assert parsed["value"] == 270.361
+    # truncated list still names the overflow
+    assert parsed["regressions_vs_prev"][-1] == "...+20 more"
+    assert len(parsed["regressions_vs_prev"]) == 21
