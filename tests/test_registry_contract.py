@@ -190,6 +190,37 @@ def test_dist_hash_fold_matches_across_engines(spark, tmp_path):
     assert (int(orow3[0]), int(orow3[1])) != (int(srow["n"]), int(srow["hsum"]))
 
 
+def test_dist_hash_tier_agrees_on_real_query(spark, sf_dir):
+    """End-to-end: the exact query the tier exists for
+    (fuzzy_name_pairs) folds to identical scalars through its Spark
+    plan AND its DuckDB oracle at sf0.001 — the same pairing the sf10
+    certification ran, pinned at a sf the test suite can afford."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    import __spark_entry__ as e
+    from verify_oracle import dist_hash_exprs
+
+    df = e.queries()["fuzzy_name_pairs"](spark, sf_dir)
+    cols = sorted(df.columns)
+    aggs, duck_tpl = dist_hash_exprs(cols)
+    srow = df.agg(*aggs).collect()[0]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'customer.parquet')}')"
+    )
+    orow = con.execute(
+        duck_tpl.format(oracle=e.oracle_sql()["fuzzy_name_pairs"])
+    ).fetchone()
+    assert int(srow["n"]) > 0
+    assert (int(srow["n"]), int(srow["hsum"])) == (int(orow[0]), int(orow[1]))
+
+
 def test_dist_hash_refuses_float_columns(spark):
     """Floats/decimals/timestamps have engine-divergent text forms; the
     dist-hash tier must refuse them loudly (false-FAIL direction), not
