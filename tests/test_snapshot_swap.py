@@ -625,6 +625,52 @@ def _hammer_commits(args):
     return wid
 
 
+def _hammer_vacuum(args):
+    """Worker: N aggressive vacuums (keep_last=1, no age grace) racing
+    the committers on the same table."""
+    import sys
+    import time as _t
+
+    sys.path.insert(0, "/root/repo")
+    from bikes_data_warehouse_etl_spark.sources import snapshot as snap
+
+    path, n = args
+    for _ in range(n):
+        snap.vacuum(path, keep_last=1, older_than=0)
+        _t.sleep(0.01)
+    return "vac"
+
+
+def test_vacuum_racing_commits_never_breaks_writers(tmp_path):
+    """The advisor-r8 race, vacuum flavor: an aggressive vacuum loop
+    (keep_last=1, older_than=0 — maximum reclamation pressure) racing
+    three committing writers must never reclaim anyone's in-flight
+    staging (reservation markers) nor leave the table dangling: every
+    commit succeeds (commit now RAISES on a missing staged dir, so a
+    reclaimed staging would fail the worker, not corrupt the table),
+    and the final state is one writer's last complete commit."""
+    import multiprocessing as mp
+
+    path = str(tmp_path / "t")
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(4) as pool:
+        committers = pool.map_async(
+            _hammer_commits, [(path, w, 5) for w in range(3)]
+        )
+        vac = pool.apply_async(_hammer_vacuum, ((path, 30),))
+        assert sorted(committers.get(timeout=300)) == [0, 1, 2]
+        assert vac.get(timeout=300) == "vac"
+
+    from bikes_data_warehouse_etl_spark.sources import snapshot as snap
+
+    live = snap.current_snapshot(path)
+    assert live is not None
+    assert os.path.basename(live) == snap.read_manifest(path)
+    with open(os.path.join(live, "data.txt")) as f:
+        wid, i = f.read().split(":")
+    assert int(i) == 4  # someone's LAST commit won, complete state
+
+
 def test_concurrent_writers_serialize_and_converge(tmp_path):
     """Writer-lock proof: four processes racing 6 commits each onto ONE
     table must interleave safely — every commit's staging gets a unique
