@@ -127,6 +127,60 @@ def test_budget_exception_has_its_own_ceiling():
     assert over_latency_budget({name: ceiling + 0.1}, 0.1) == [name]
 
 
+def test_budget_rescales_on_slow_host():
+    """Judge r9: the driver host (cal 1.078) raw-flagged
+    dup_span_fraction at 6.414 s against its 6.0 s ceiling even though
+    calibrated (vs the local 0.922 base) it reads ~5.5 s. With both
+    calibrations known, the ceilings scale by cal_now/cal_base and the
+    flag disappears; a genuinely slow query is still flagged."""
+    # slow host: timings and calibration both ~2x → no flag
+    assert (
+        over_latency_budget(
+            {"q": LATENCY_BUDGET_S + 1}, 0.1, cal_now=2.0, cal_base=1.0
+        )
+        == []
+    )
+    # the literal r9 false positive, with its real numbers
+    assert (
+        over_latency_budget(
+            {"dup_span_fraction": 6.414}, 0.1, cal_now=1.078, cal_base=0.922
+        )
+        == []
+    )
+    # genuinely slow on the same slow host: 2x-scaled ceiling breached
+    assert over_latency_budget(
+        {"q": LATENCY_BUDGET_S * 2 + 1}, 0.1, cal_now=2.0, cal_base=1.0
+    ) == ["q"]
+
+
+def test_budget_scale_clamped_and_fallback_raw():
+    # a pathological 10x calibration sample clamps to 2x
+    assert over_latency_budget(
+        {"q": LATENCY_BUDGET_S * 2 + 0.1}, 0.1, cal_now=10.0, cal_base=1.0
+    ) == ["q"]
+    # FAST host tightens the ceiling (clamped at 0.5x)
+    assert over_latency_budget(
+        {"q": LATENCY_BUDGET_S * 0.6}, 0.1, cal_now=0.1, cal_base=1.0
+    ) == ["q"]
+    # missing either calibration → raw compare (pre-r10 behavior)
+    assert over_latency_budget(
+        {"q": LATENCY_BUDGET_S + 1}, 0.1, cal_now=2.0, cal_base=None
+    ) == ["q"]
+    assert over_latency_budget(
+        {"q": LATENCY_BUDGET_S + 1}, 0.1, cal_now=None, cal_base=1.0
+    ) == ["q"]
+
+
+def test_budget_cal_base_reads_bench_local():
+    from bench import budget_cal_base
+
+    base = budget_cal_base()
+    with open(os.path.join(REPO, "BENCH_local.json")) as f:
+        doc = json.load(f)
+    assert base == (doc.get("parsed") or doc).get("calibration_s")
+    assert base and base > 0
+
+
 def test_last_committed_bench_is_within_budget():
     """The checked-in BENCH_local medians must respect the budget —
     i.e. the exception list is complete, not aspirational. The wedge
