@@ -166,16 +166,24 @@ def bench_pipeline(spark, work: str, n_rep: int) -> dict:
     # replays do the same physical write work) — once without the
     # sweep, once with. The delta is the measured cost of making every
     # commit power-loss durable on this FS.
-    t6 = time.time()
-    p2.load_ods()
-    t7 = time.time()
-    os.environ["SPARK_GRAFT_SNAPSHOT_FSYNC"] = "1"
+    # the baseline leg must run WITHOUT the sweep even if the caller's
+    # environment already set the var (advisor r9: the unconditional
+    # set-then-del both polluted the baseline leg and clobbered the
+    # user's setting) — save, pop for the A leg, restore afterwards
+    prev_fsync = os.environ.pop("SPARK_GRAFT_SNAPSHOT_FSYNC", None)
     try:
+        t6 = time.time()
+        p2.load_ods()
+        t7 = time.time()
+        os.environ["SPARK_GRAFT_SNAPSHOT_FSYNC"] = "1"
         t8 = time.time()
         p2.load_ods()
         t9 = time.time()
     finally:
-        del os.environ["SPARK_GRAFT_SNAPSHOT_FSYNC"]
+        if prev_fsync is None:
+            os.environ.pop("SPARK_GRAFT_SNAPSHOT_FSYNC", None)
+        else:
+            os.environ["SPARK_GRAFT_SNAPSHOT_FSYNC"] = prev_fsync
 
     n_items = spark.read.parquet(os.path.join(wh, "ods", "salesorderitems")).count()
     n_fact = spark.read.parquet(os.path.join(wh, "dw", "ordr_dtl_fct")).count()

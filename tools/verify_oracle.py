@@ -143,18 +143,37 @@ def _duck_hex15_terms(col: str = "h") -> str:
 
 # Spark dtypes whose CAST(… AS STRING) is bit-identical to DuckDB's
 # CAST(… AS VARCHAR): integers print the same digits, dates print
-# yyyy-MM-dd, booleans print true/false. Floats/decimals/timestamps
-# are deliberately NOT here — their text forms differ in trailing
+# yyyy-MM-dd, booleans print true/false. Decimals/timestamps are
+# deliberately NOT here — their text forms differ in trailing
 # zeros / precision across engines, and a dist-hash over them would
 # false-FAIL (never silently pass). Extend only with a proven pairing.
 _DIST_HASH_DTYPES = {"tinyint", "smallint", "int", "bigint",
                      "string", "date", "boolean"}
+# Float dtypes canonicalized through an exact FIXED-POINT form instead
+# of the engine-divergent text cast: floor(x * 1e6) as a 64-bit int.
+# Proven identical on both engines (tests/test_registry_contract.py):
+# x * 1e6 is one IEEE-754 double multiply (correctly rounded, so
+# bit-identical for identical inputs; FLOAT widens to double exactly),
+# floor is exact on both, and the result is an integral double that
+# DuckDB's rounding BIGINT cast and Spark's floor→LONG both represent
+# exactly below 2^63. NaN maps to a literal sentinel on both engines
+# (Spark isnan / DuckDB isnan); ±Infinity overflows the BIGINT cast —
+# an engine ERROR, i.e. the false-FAIL direction, never a false PASS.
+# Semantics: values are compared at 1e-6 quantization — the same 6dp
+# granularity the pandas materialize tier uses (round(6)); a pair
+# straddling a floor boundary by <1e-6 can only FAIL, not false-PASS.
+_DIST_HASH_FIXEDPOINT = {"float", "double"}
 
 
-def dist_hash_exprs(columns) -> tuple[list, str]:
+def dist_hash_exprs(
+    columns, dtypes: dict[str, str] | None = None
+) -> tuple[list, str]:
     """Build the per-row canonical-string → md5 → 15-hex-char →
     integer expressions for BOTH engines over the given column names
-    (sorted by the caller). Returns (spark Column list for agg,
+    (sorted by the caller). ``dtypes`` maps column name → Spark
+    ``simpleString``; columns typed in ``_DIST_HASH_FIXEDPOINT`` take
+    the fixed-point float canonicalization, everything else the plain
+    engine-identical string cast. Returns (spark Column list for agg,
     duckdb SELECT projecting ``n`` and ``hsum``'s inner canon expr).
 
     The per-row hash folds with an EXACT commutative sum — Spark
@@ -168,10 +187,32 @@ def dist_hash_exprs(columns) -> tuple[list, str]:
     tables' data domains."""
     from pyspark.sql import functions as F
 
-    canon_s = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-        for c in columns
-    ]
+    dtypes = dtypes or {}
+
+    def _spark_canon(c: str):
+        if dtypes.get(c) in _DIST_HASH_FIXEDPOINT:
+            # widen to double EXPLICITLY on both engines: DuckDB types
+            # FLOAT * 1e6 as FLOAT (1024.125*1e6 → 1024124992 in
+            # float32) while Spark promotes to double (→ 1024125000) —
+            # the widening itself is exact, the float32 multiply is not
+            col = F.col(c).cast("double")
+            fixed = F.when(F.isnan(col), F.lit("nan")).otherwise(
+                F.floor(col * F.lit(1000000.0)).cast("string")
+            )
+            return F.coalesce(fixed, F.lit("\x00null"))
+        return F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+
+    def _duck_canon(c: str) -> str:
+        if dtypes.get(c) in _DIST_HASH_FIXEDPOINT:
+            d = f'CAST("{c}" AS DOUBLE)'
+            return (
+                f"coalesce(CASE WHEN isnan({d}) THEN 'nan' ELSE "
+                f"CAST(CAST(floor({d} * 1000000.0) AS BIGINT) AS "
+                f"VARCHAR) END, chr(0) || 'null')"
+            )
+        return f'coalesce(CAST("{c}" AS VARCHAR), chr(0) || \'null\')'
+
+    canon_s = [_spark_canon(c) for c in columns]
     h_s = F.conv(
         F.substring(F.md5(F.concat_ws("\x1f", *canon_s)), 1, 15), 16, 10
     ).cast("decimal(38,0)")
@@ -179,10 +220,7 @@ def dist_hash_exprs(columns) -> tuple[list, str]:
         F.count(F.lit(1)).alias("n"),
         F.sum(h_s).alias("hsum"),
     ]
-    canon_d = ", ".join(
-        f'coalesce(CAST("{c}" AS VARCHAR), chr(0) || \'null\')'
-        for c in columns
-    )
+    canon_d = ", ".join(_duck_canon(c) for c in columns)
     duck_sql = (
         "SELECT COUNT(*) AS n, "
         f"SUM(CAST({_duck_hex15_terms()} AS HUGEINT)) AS hsum "
@@ -436,13 +474,31 @@ def main() -> int:
                 print(f"PASS {name}: {r['rows']} rows, "
                       f"hash {r['hash']} (resumed)")
             continue
-        if name in dist_hash and name in oracles:
+        if name in dist_hash or name in count_only:
+            # a query named in --dist-hash/--count-only exists PRECISELY
+            # because its materialized output is too large for the
+            # pandas tier: silently falling through to that tier (the
+            # pre-r10 behavior when oracle_sql() lacked the name) could
+            # attempt to collect hundreds of millions of rows (advisor
+            # r9). Fail loudly instead.
+            if name not in oracles:
+                tier = "dist-hash" if name in dist_hash else "count-only"
+                print(
+                    f"FAIL {name}: --{tier} requested but the query has "
+                    "no oracle_sql() entry — refusing the full-"
+                    "materialize fallback"
+                )
+                failures.append(name)
+                results[name] = {"status": "tier_no_oracle"}
+                continue
+        if name in dist_hash:
             try:
                 df = fn(spark, sf_dir)
+                ok_dtypes = _DIST_HASH_DTYPES | _DIST_HASH_FIXEDPOINT
                 bad = [
                     f"{f.name}:{f.dataType.simpleString()}"
                     for f in df.schema.fields
-                    if f.dataType.simpleString() not in _DIST_HASH_DTYPES
+                    if f.dataType.simpleString() not in ok_dtypes
                 ]
                 if bad:
                     raise TypeError(
@@ -450,7 +506,11 @@ def main() -> int:
                         f"unsupported column(s): {bad}"
                     )
                 cols = sorted(df.columns)
-                aggs, duck_tpl = dist_hash_exprs(cols)
+                dtypes = {
+                    f.name: f.dataType.simpleString()
+                    for f in df.schema.fields
+                }
+                aggs, duck_tpl = dist_hash_exprs(cols, dtypes)
                 srow = df.agg(*aggs).collect()[0]
                 s_n = int(srow["n"])
                 s_fold = int(srow["hsum"]) if srow["hsum"] is not None else 0
@@ -500,7 +560,7 @@ def main() -> int:
                     "duckdb": [o_n, str(o_fold)],
                 }
             continue
-        if name in count_only and name in oracles:
+        if name in count_only:
             n_count += 1
             try:
                 scount = fn(spark, sf_dir).count()
@@ -653,7 +713,7 @@ def _summarize(results: dict[str, dict]) -> dict:
     timeouts = sorted(n for n, s in status.items() if s == "oracle_timeout")
     fail_states = {
         "mismatch", "duckdb_error", "spark_error",
-        "count_mismatch", "dist_hash_mismatch",
+        "count_mismatch", "dist_hash_mismatch", "tier_no_oracle",
     }
     failures = sorted(n for n, s in status.items() if s in fail_states)
     return {
