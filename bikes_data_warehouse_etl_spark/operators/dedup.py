@@ -442,7 +442,6 @@ def neardup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: min-label
     propagation until fixpoint. Returns (node, component_id) for every
@@ -458,21 +457,27 @@ def neardup_components(
     label) longs — fixed-width keys, map-side combinable — and
     converges in ≤ graph-diameter iterations (near-dup components are
     shallow: boilerplate clusters are star-shaped, so typically 2-3
-    rounds). The driver-side loop holds only a convergence *count* per
+    rounds). The driver-side loop holds only a convergence *sum* per
     round, never data. At extreme scale swap in the large-star/
     small-star iteration (Kiveris et al.) — same per-round plan shape,
     provably fewer rounds on deep chains.
 
-    Lineage is truncated with an eager ``localCheckpoint`` every
-    ``checkpoint_every`` iterations: without it the logical plan nests
-    one join+aggregate per round, so a diameter-d graph builds an O(d)-
-    deep plan — analyzer/optimizer time grows superlinearly and long
-    chains stack-overflow Catalyst. The unpersist order is
-    deliberately conservative: a checkpoint's blocks are the ONLY
-    source for its descendants (no lineage to fall back on), so the
-    previous checkpoint is released only after the next one has fully
-    materialized, never while a descendant might still recompute from
-    it.
+    Lineage is truncated with an eager ``localCheckpoint`` EVERY
+    iteration (r11): each round's plan references the previous labels
+    frame twice (union branch + neighbor join), so uncheckpointed
+    lineage doubles per round — a diameter-d graph builds an O(2^d)
+    analyzed plan whose Catalyst time dwarfs the actual shuffle work
+    (the sf0.1 plan carried 724 Exchange nodes from 2 rounds of nesting
+    over the shingle self-join). Checkpointing each round keeps every
+    iteration's plan a constant three operators over materialized
+    blocks.
+
+    Convergence is detected without a join: min-label propagation only
+    ever DECREASES a node's label and never adds or drops nodes, so the
+    per-round label sum (exact, decimal — no overflow at any node
+    count) is strictly decreasing until fixpoint and equal iff no node
+    changed. That replaces the old per-round join+filter+count job with
+    a map-side-combinable aggregate over the just-checkpointed blocks.
     """
     # symmetrize with ONE pass over the pair pipeline: a union of two
     # selects re-evaluates the (expensive — shingle self-join) pairs
@@ -492,47 +497,41 @@ def neardup_components(
             )
         ).alias("e")
     ).select("e.src", "e.dst").persist()
+
+    def label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
-    last_ckpt = None
+    prev_sum = label_sum(labels)
     converged = False
-    for i in range(max_iter):
+    for _ in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
         new_labels = (
-            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            # eager: materializes every partition AND truncates lineage;
+            # the previous checkpoint is released only after this one
+            # has fully materialized (its blocks are the only source —
+            # there is no lineage to fall back on)
+            .localCheckpoint()
         )
-        is_ckpt = (i + 1) % checkpoint_every == 0
-        if is_ckpt:
-            # eager: materializes every partition AND truncates lineage
-            new_labels = new_labels.localCheckpoint()
-        else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        prev, labels = labels, new_labels
-        if prev is not last_ckpt:
-            # intermediates keep their lineage — dropping them is at
-            # worst a recompute back to the last checkpoint
-            prev.unpersist()
-        if is_ckpt:
-            if last_ckpt is not None and last_ckpt is not prev:
-                last_ckpt.unpersist()
-            elif last_ckpt is prev:
-                prev.unpersist()
-            last_ckpt = labels
-        if changed == 0:
+        cur_sum = label_sum(new_labels)
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     edges.unpersist()
     if not converged:
         # truncated propagation returns WRONG component ids (two docs in
@@ -545,14 +544,4 @@ def neardup_components(
             f"{max_iter} rounds (graph diameter exceeds it); raise "
             "max_iter — labels would be silently wrong, not approximate"
         )
-    if last_ckpt is not None and last_ckpt is not labels:
-        # the returned frame must be SELF-CONTAINED before the lingering
-        # checkpoint is dropped: a mere count() on the persisted labels
-        # is not enough (a lost executor would recompute through lineage
-        # into the deleted checkpoint blocks) — checkpoint the final
-        # labels too, truncating lineage, then release both ancestors
-        persisted = labels
-        labels = labels.localCheckpoint()
-        persisted.unpersist()
-        last_ckpt.unpersist()
     return labels.select("node", F.col("label").alias("component_id"))
