@@ -222,6 +222,74 @@ def latest_bench_json() -> str | None:
     return None
 
 
+def perf_vs_prev(
+    timings: dict[str, float],
+    cal_now: float | None,
+    sf: float | None = None,
+) -> dict:
+    """Bench-side round-over-round comparison (VERDICT r10 item 2).
+
+    The driver's stdout tail capture (~2000 chars) cannot carry the
+    315-entry per-query map, so its own per-query/geomean machinery
+    records nothing (PERF_r10: n_common 0, geomean null). Compute the
+    comparison HERE against the newest usable per-query baseline
+    (``latest_bench_json`` — the committed ``BENCH_local.json``, i.e.
+    the previous round's medians) and ship the aggregate fields in the
+    compact final line: geomean speedup, regressed/improved counts at
+    ±10%, and the top-5 regressed queries with before/after seconds.
+    The baseline is rescaled by the calibration ratio first, same as
+    the regression gates, so host drift does not masquerade as a
+    per-query slide."""
+    import math
+
+    path = latest_bench_json()
+    if not path:
+        return {}
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    parsed = doc.get("parsed") or doc
+    base_sf = parsed.get("sf", doc.get("sf"))
+    if sf is not None and base_sf is not None and float(base_sf) != float(sf):
+        # an sf1 run compared against sf0.1 medians would report the
+        # whole suite regressed — same guard as regressions_vs
+        return {}
+    base = parsed.get("queries") or {}
+    ratio = _cal_ratio(cal_now, parsed)
+    speedups = {
+        q: (base[q] * ratio) / t
+        for q, t in timings.items()
+        if q in base and t > 0 and base[q] > 0
+    }
+    if not speedups:
+        return {"prev_per_query_baseline": os.path.basename(path)}
+    geomean = math.exp(
+        sum(math.log(s) for s in speedups.values()) / len(speedups)
+    )
+    regressed = sorted(
+        (q for q, s in speedups.items() if s < 1 / 1.1),
+        key=lambda q: speedups[q],
+    )
+    improved = [q for q, s in speedups.items() if s > 1.1]
+    return {
+        "prev_per_query_baseline": os.path.basename(path),
+        "geomean_speedup_vs_prev": round(geomean, 3),
+        "n_common_vs_prev": len(speedups),
+        "n_regressed_gt10pct": len(regressed),
+        "n_improved_gt10pct": len(improved),
+        "top_regressed": [
+            {
+                "q": q,
+                "prev": round(base[q] * ratio, 3),
+                "now": timings[q],
+            }
+            for q in regressed[:5]
+        ],
+    }
+
+
 def compact_summary(payload: dict) -> dict:
     """The final stdout line's content: every gate field, NO per-query
     map, so the driver's ~2000-char tail capture ends with one
@@ -243,6 +311,12 @@ def compact_summary(payload: dict) -> dict:
             "latency_budget_s",
             "latency_cal_base",
             "over_latency_budget",
+            "prev_per_query_baseline",
+            "geomean_speedup_vs_prev",
+            "n_common_vs_prev",
+            "n_regressed_gt10pct",
+            "n_improved_gt10pct",
+            "top_regressed",
         )
         if k in payload
     }
@@ -309,6 +383,7 @@ def main() -> None:
         "latency_cal_base": cal_base,
         "over_latency_budget": over_budget,
     }
+    payload.update(perf_vs_prev(timings, cal_s, sf=cur_sf))
     # The driver's stdout capture keeps only the LAST ~2000 chars of the
     # line; at 300+ queries the per-query map alone exceeds that, so
     # BENCH_r02..r05 all carry "parsed": null. The printed line stays the

@@ -230,3 +230,93 @@ def test_compact_summary_fits_driver_tail_and_parses():
     # truncated list still names the overflow
     assert parsed["regressions_vs_prev"][-1] == "...+20 more"
     assert len(parsed["regressions_vs_prev"]) == 21
+
+
+# --- bench-side round-over-round comparison (verdict r10 #2) -----------------
+def _perf_baseline(tmp_path, queries, cal=1.0, sf=0.1):
+    doc = {"queries": queries, "calibration_s": cal, "sf": sf}
+    p = tmp_path / "BENCH_local.json"
+    p.write_text(json.dumps(doc))
+    return str(p)
+
+
+def test_perf_vs_prev_geomean_and_lists(tmp_path, monkeypatch):
+    import bench
+
+    p = _perf_baseline(
+        tmp_path, {"a": 2.0, "b": 1.0, "c": 4.0, "gone": 1.0}
+    )
+    monkeypatch.setattr(bench, "latest_bench_json", lambda: p)
+    out = bench.perf_vs_prev(
+        {"a": 1.0, "b": 2.0, "c": 4.0, "new": 9.0}, cal_now=1.0, sf=0.1
+    )
+    assert out["n_common_vs_prev"] == 3  # gone/new excluded
+    # speedups: a=2.0, b=0.5, c=1.0 → geomean = 1.0
+    assert out["geomean_speedup_vs_prev"] == 1.0
+    assert out["n_regressed_gt10pct"] == 1
+    assert out["n_improved_gt10pct"] == 1
+    assert out["top_regressed"] == [{"q": "b", "prev": 1.0, "now": 2.0}]
+
+
+def test_perf_vs_prev_calibration_rescales(tmp_path, monkeypatch):
+    """A uniformly 2x-slower host with a 2x calibration reads as flat."""
+    import bench
+
+    p = _perf_baseline(tmp_path, {"a": 1.0, "b": 3.0}, cal=1.0)
+    monkeypatch.setattr(bench, "latest_bench_json", lambda: p)
+    out = bench.perf_vs_prev({"a": 2.0, "b": 6.0}, cal_now=2.0, sf=0.1)
+    assert out["geomean_speedup_vs_prev"] == 1.0
+    assert out["n_regressed_gt10pct"] == 0
+
+
+def test_perf_vs_prev_sf_mismatch_skipped(tmp_path, monkeypatch):
+    import bench
+
+    p = _perf_baseline(tmp_path, {"a": 1.0}, sf=0.1)
+    monkeypatch.setattr(bench, "latest_bench_json", lambda: p)
+    assert bench.perf_vs_prev({"a": 50.0}, cal_now=1.0, sf=1.0) == {}
+
+
+def test_perf_vs_prev_missing_baseline(monkeypatch):
+    import bench
+
+    monkeypatch.setattr(bench, "latest_bench_json", lambda: None)
+    assert bench.perf_vs_prev({"a": 1.0}, cal_now=1.0, sf=0.1) == {}
+
+
+def test_compact_summary_carries_perf_fields_within_tail():
+    """With the r11 perf fields present AND pathological regression
+    lists, the compact line must still fit the driver's 2000-char tail."""
+    import json
+
+    from bench import compact_summary
+
+    payload = {
+        "metric": "synthetic_query_suite_total",
+        "value": 270.361,
+        "unit": "sec",
+        "queries": {f"q{i}": 0.5 for i in range(315)},
+        "sf": 0.1,
+        "runs_per_query": 3,
+        "calibration_s": 0.922,
+        "regressions_vs_r1": [],
+        "regressions_vs_prev": [f"q{i}" for i in range(40)],
+        "latency_budget_s": 5.0,
+        "latency_cal_base": 0.922,
+        "over_latency_budget": [],
+        "prev_per_query_baseline": "BENCH_local.json",
+        "geomean_speedup_vs_prev": 1.043,
+        "n_common_vs_prev": 315,
+        "n_regressed_gt10pct": 3,
+        "n_improved_gt10pct": 11,
+        "top_regressed": [
+            {"q": f"some_long_query_name_{i}", "prev": 3.141, "now": 4.253}
+            for i in range(5)
+        ],
+    }
+    line = json.dumps(compact_summary(payload))
+    assert len(line) < 1900, len(line)
+    parsed = json.loads(line)
+    assert parsed["geomean_speedup_vs_prev"] == 1.043
+    assert len(parsed["top_regressed"]) == 5
+    assert "queries" not in parsed
