@@ -72,6 +72,35 @@ def get_spark(
         )
         # --- Scan sizing: 128 MB splits keep partitions memory-safe ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- Generate-filter inference off (r11) ---
+        # InferFiltersFromGenerate adds `size(arr) > 0 AND isnotnull(arr)`
+        # below every explode; PushDownPredicates then substitutes the
+        # generator child's FULL defining expression into that filter and
+        # pushes it to the scan side. For this engine's document
+        # pipelines the child is the tokenize+shingle build (regex +
+        # 7 nested zip_with per row) — the most expensive row-local
+        # expression in the suite — so every shingle/minhash/LSH query
+        # evaluated it TWICE per row, and the duplicated copy landed
+        # BELOW the widen_scan exchange, pinned to the input's split
+        # count (one core on the testdata). The filter is semantically
+        # redundant for explode (an empty/null array emits no rows
+        # anyway); it only ever saves generator-machinery overhead when
+        # arrays are empty AND cheap to compute, which never holds
+        # here. Measured (same-JVM ABBA, sf0.1): the exploded-shingle
+        # stage 4.9 s → 0.5-1.2 s; dup_span_fraction 5.1-5.9 s →
+        # 1.5 s. Results bit-identical by construction (the rule only
+        # drops rows explode drops itself); the full DuckDB-oracle
+        # matrix re-certified after the change. Re-enable with
+        # SPARK_GRAFT_EXCLUDED_RULES="" if a future stored-array
+        # workload wants the inference back.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            os.environ.get(
+                "SPARK_GRAFT_EXCLUDED_RULES",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate",
+            ),
+        )
         # --- Arrow for the pandas-UDF extension points ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- Parquet TIMESTAMP(NANOS) (events.ts) is unreadable natively;
