@@ -51,6 +51,48 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when((na > 0) & (nb > 0), d / (na * nb))
 
 
+# --- redundant-fold elimination (r11) ---------------------------------------
+# Spark evaluates higher-order functions (zip_with / aggregate lambdas)
+# in INTERPRETED mode, so every fold costs per-element Invoke overhead
+# per evaluation. ``cosine(a, b)`` pays THREE folds per row (dot + two
+# norms); in the common shapes that is mostly waste: a literal query
+# vector's norm is a driver-computable constant, and a join input's
+# per-row norm can be computed once in a projection instead of once
+# per PAIR. Both substitutions are bit-identical — same left-to-right
+# IEEE-double accumulate, same operands into the final divide.
+# (An alternative — unrolling the folds into flat codegen arithmetic —
+# was ABBA-measured and REJECTED: at bench row counts the multi-
+# thousand-node expression trees cost more in codegen/planning than
+# interpreted folds cost to run; ivf_topk regressed 3.5 s → 11-15 s.
+# See OPTIMIZATION_r11.md.)
+
+
+def norm_value(values) -> float:
+    """Driver-side float twin of ``norm`` on a literal vector — the
+    same left-to-right IEEE-double accumulate and correctly-rounded
+    sqrt, so the result is bitwise what the JVM fold produces."""
+    import math
+
+    acc = 0.0
+    for v in values:
+        acc += float(v) * float(v)
+    return math.sqrt(acc)
+
+
+def cosine_lit(a: Column | str, values) -> Column:
+    """Bit-identical twin of ``cosine(a, F.array(*lits))`` for a
+    driver-known query vector: the literal side's norm collapses to a
+    precomputed double (one fewer interpreted fold per row; the
+    ``nb > 0`` guard constant-folds away)."""
+    nb = norm_value(values)
+    if not nb > 0:
+        # original guard (na > 0) & (nb > 0) is constant-false
+        return F.lit(None).cast("double")
+    q = F.array(*[F.lit(float(v)) for v in values])
+    na = norm(a)
+    return F.when(na > 0, dot(_c(a), q) / (na * F.lit(nb)))
+
+
 def sign_lsh_bucket(a: Column | str, n_bits: int = 16) -> Column:
     """Axis-aligned sign-LSH bucket: bit i set iff component i > 0.
 

@@ -29,8 +29,10 @@ import pyspark.sql.functions as F
 
 from bikes_data_warehouse_etl_spark.functions.vectors import (
     cosine,
+    cosine_lit,
     dot,
     norm,
+    norm_value,
     sign_lsh_bucket,
 )
 
@@ -47,12 +49,17 @@ def brute_force_topk(
     id_col: str = "vec_id",
     round_dp: int = 6,
 ) -> DataFrame:
-    """Exact cosine top-k; deterministic tie-break on id."""
-    q = _query_lit(query_vec)
+    """Exact cosine top-k; deterministic tie-break on id.
+
+    The per-row cosine against the literal query uses ``cosine_lit``
+    (bit-identical; the query side's norm fold collapses to a
+    driver-computed double — functions/vectors.py r11)."""
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), round_dp).alias("cos_sim"),
+            F.round(cosine_lit(F.col(vec_col), query_vec), round_dp).alias(
+                "cos_sim"
+            ),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -75,13 +82,14 @@ def lsh_topk(
     partition before any vector math runs.
     """
     qbucket = sum(1 << i for i, v in enumerate(query_vec[:n_bits]) if v > 0)
-    q = _query_lit(query_vec)
     return (
         df.withColumn("bucket", sign_lsh_bucket(F.col(vec_col), n_bits))
         .filter(F.col("bucket") == F.lit(qbucket))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), round_dp).alias("cos_sim"),
+            F.round(cosine_lit(F.col(vec_col), query_vec), round_dp).alias(
+                "cos_sim"
+            ),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -124,13 +132,14 @@ def lsh_topk_on_index(
     the partition column → directory pruning, then exact cosine rank
     inside the surviving bucket (TakeOrderedAndProject, no shuffle)."""
     qbucket = sum(1 << i for i, v in enumerate(query_vec[:n_bits]) if v > 0)
-    q = _query_lit(query_vec)
     return (
         spark.read.parquet(path)
         .filter(F.col("bucket") == F.lit(qbucket))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), round_dp).alias("cos_sim"),
+            F.round(cosine_lit(F.col(vec_col), query_vec), round_dp).alias(
+                "cos_sim"
+            ),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -157,15 +166,38 @@ def ivf_assign(
     # and ivf_topk's driver-side (-cos, cid) ranking, which would then
     # probe a different list than the tied vectors were assigned to
     centroids = sorted(centroids)
+    # redundant-fold elimination (vectors.py r11, ABBA-measured): the
+    # row vector's norm is computed ONCE per row in its own projection
+    # (the alias is non-cheap and referenced len(centroids) times, so
+    # CollapseProject keeps it single-evaluation) and each centroid's
+    # norm is a driver-computed double — the inline-cosine form paid
+    # 2·len(centroids) interpreted norm folds per row. The sims array
+    # is hoisted the same way: ``array_position(sims, array_max(sims))``
+    # references it twice, which would otherwise duplicate all
+    # len(centroids) dot folds per row.
+    nrm = F.col("__nrm__")
     sims = F.array(
-        *[cosine(F.col(vec_col), _query_lit(vec)) for _, vec in centroids]
+        *[
+            F.when(
+                (nrm > 0) & (F.lit(norm_value(vec)) > 0),
+                dot(F.col(vec_col), _query_lit(vec))
+                / (nrm * F.lit(norm_value(vec))),
+            )
+            for _, vec in centroids
+        ]
     )
+    s = F.col("__sims__")
     # argmax with lowest-index tie-break: array_position finds the first max
-    best_idx = F.array_position(sims, F.array_max(sims)).cast("int")
+    best_idx = F.array_position(s, F.array_max(s)).cast("int")
     cid = F.element_at(
         F.array(*[F.lit(cid) for cid, _ in centroids]), best_idx
     )
-    return df.withColumn("centroid_id", cid)
+    return (
+        df.withColumn("__nrm__", norm(F.col(vec_col)))
+        .withColumn("__sims__", sims)
+        .withColumn("centroid_id", cid)
+        .drop("__nrm__", "__sims__")
+    )
 
 
 def ivf_centroids_from_seed_rows(

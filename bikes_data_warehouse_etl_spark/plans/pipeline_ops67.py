@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from bikes_data_warehouse_etl_spark.functions.text import tokens
-from bikes_data_warehouse_etl_spark.functions.vectors import cosine
 from bikes_data_warehouse_etl_spark.plans.extensions import (
     _SQL_COS,
     _SQL_TOKENS,
@@ -230,22 +229,37 @@ def q_hard_negative_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     here are ~10-way so it does not occur, but the contract is
     explicit).
     """
+    from bikes_data_warehouse_etl_spark.functions.vectors import dot, norm
+
+    # norms hoisted to per-ROW projections on each join input (computed
+    # once per corpus row / once per query row, not once per PAIR) —
+    # the inline cosine paid the two interpreted norm folds per
+    # (corpus row × query) pair, 2/3 of the query's fold count
+    # (functions/vectors.py r11; same-JVM ABBA 2.5-3.1 s → 1.1-2.2 s,
+    # rows identical). The per-pair dot fold is the irreducible term.
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _HN_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
         F.col("label").alias("qlabel"),
+        norm(F.col("embedding")).alias("qnrm"),
     )
-    corpus = e.filter(F.col("vec_id") >= _HN_QUERIES)
+    corpus = e.filter(F.col("vec_id") >= _HN_QUERIES).select(
+        "vec_id",
+        "embedding",
+        "label",
+        norm(F.col("embedding")).alias("enrm"),
+    )
+    cos = F.when(
+        (F.col("enrm") > 0) & (F.col("qnrm") > 0),
+        dot(F.col("embedding"), F.col("qvec"))
+        / (F.col("enrm") * F.col("qnrm")),
+    )
     scored = corpus.crossJoin(F.broadcast(q)).select(
         F.col("qid").alias("vec_id"),
         F.col("qlabel"),
         F.col("label").alias("e_label"),
-        F.floor(
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6) * 10000
-        )
-        .cast("long")
-        .alias("cos_bp"),
+        F.floor(F.round(cos, 6) * 10000).cast("long").alias("cos_bp"),
     )
     pos = F.max(
         F.when(F.col("e_label") == F.col("qlabel"), F.col("cos_bp"))
