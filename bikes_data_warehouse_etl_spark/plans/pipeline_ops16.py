@@ -541,8 +541,15 @@ def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
     ).localCheckpoint(eager=False)
     adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    # r11: every oriented edge (u, v) appears exactly once in adj[u]'s
+    # neighbor list, so exploding the adjacency REPLACES the old
+    # o ⋈ adj join on u — one exchange fewer (o no longer re-shuffles
+    # by u). o stays lazily checkpointed: the two adj legs below both
+    # root at it, and without the truncation the full attach subtree
+    # inlines into each leg. Same-JVM ABBA: 1.46-3.4 s → 1.35-1.8 s
+    # per construction+noop; n_triangles bit-identical.
     tri = (
-        o.join(adj, "u")
+        adj.select("u", F.explode("nbrs").alias("v"), F.col("nbrs"))
         .join(
             adj.select(
                 F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v")
