@@ -135,22 +135,15 @@ def regressions_vs(
 # at other sfs the absolute numbers mean different work.
 LATENCY_BUDGET_S = 5.0
 LATENCY_EXCEPTIONS: dict[str, float] = {
-    # (poisson_bootstrap_ci left this list in round 6: the ×32 fan-out
-    # now derives its replicate uniforms from ONE md5 via affine
-    # families — sf0.1 well under the 5 s budget, sf10 37 s → ~3.4 s)
-    # single-pass 8-gram census (pipeline_ops65.py): widen_scan now
-    # lifts the tokenize+explode stage off the testdata's single split,
-    # but the quiet warm median is still ~4.9-5.2 s — the span-frequency
-    # window + rollup shuffles are the remaining floor, too close to
-    # the 5 s budget to trust under host noise. Measured A/Bs:
-    # string-concat vs arrays_zip spans tie; dup-set+join-back is 2x;
-    # census-vs-window tie (PERF.md). Ceiling ratcheted 8.0 → 6.0 in r9
-    # (judge: measured 5.18 s median left slack a real 50% regression
-    # could hide under).
-    "dup_span_fraction": 6.0,
-    # theil_sen_trend left this list in round 7: the histogram-bisection
-    # rewrite (exact integer rank, fixed-size agg state) brought the
-    # sf0.1 median from 6.7 s to 4.4 s — inside the standard budget.
+    # (poisson_bootstrap_ci left this list in round 6: replicate
+    # uniforms from ONE md5 via affine families — well under budget.
+    # theil_sen_trend left in round 7: histogram-bisection rewrite,
+    # 6.7 s → 4.4 s.
+    # dup_span_fraction left in round 11: its ~5 s floor was Spark's
+    # InferFiltersFromGenerate duplicating the tokenize+8-gram build
+    # into a single-split pushed filter; with the rule excluded
+    # (session.py) the warm median is ~1.5-2.2 s — comfortably inside
+    # the standard 5 s budget, so the 6.0 s ceiling is deleted.)
 }
 
 

@@ -121,18 +121,30 @@ def test_budget_only_applies_at_sf01():
     assert over_latency_budget(t, None) == []
 
 
-def test_budget_exception_has_its_own_ceiling():
-    (name, ceiling) = next(iter(LATENCY_EXCEPTIONS.items()))
-    assert over_latency_budget({name: ceiling - 0.1}, 0.1) == []
-    assert over_latency_budget({name: ceiling + 0.1}, 0.1) == [name]
+def test_budget_exception_has_its_own_ceiling(monkeypatch):
+    # the real exception list is EMPTY since r11 (dup_span_fraction's
+    # ceiling was deleted after the InferFiltersFromGenerate fix) —
+    # pin the mechanism on a synthetic entry
+    import bench
+
+    monkeypatch.setitem(bench.LATENCY_EXCEPTIONS, "slow_by_design", 7.0)
+    assert over_latency_budget({"slow_by_design": 6.9}, 0.1) == []
+    assert over_latency_budget({"slow_by_design": 7.1}, 0.1) == [
+        "slow_by_design"
+    ]
 
 
-def test_budget_rescales_on_slow_host():
+def test_budget_rescales_on_slow_host(monkeypatch):
     """Judge r9: the driver host (cal 1.078) raw-flagged
-    dup_span_fraction at 6.414 s against its 6.0 s ceiling even though
-    calibrated (vs the local 0.922 base) it reads ~5.5 s. With both
-    calibrations known, the ceilings scale by cal_now/cal_base and the
-    flag disappears; a genuinely slow query is still flagged."""
+    dup_span_fraction at 6.414 s against its then-6.0 s ceiling even
+    though calibrated (vs the local 0.922 base) it reads ~5.5 s. With
+    both calibrations known, the ceilings scale by cal_now/cal_base and
+    the flag disappears; a genuinely slow query is still flagged.
+    (dup_span_fraction's ceiling was deleted in r11 — it now runs well
+    under the standard budget — so the historical numbers are replayed
+    against a monkeypatched exception entry.)"""
+    import bench
+
     # slow host: timings and calibration both ~2x → no flag
     assert (
         over_latency_budget(
@@ -141,6 +153,7 @@ def test_budget_rescales_on_slow_host():
         == []
     )
     # the literal r9 false positive, with its real numbers
+    monkeypatch.setitem(bench.LATENCY_EXCEPTIONS, "dup_span_fraction", 6.0)
     assert (
         over_latency_budget(
             {"dup_span_fraction": 6.414}, 0.1, cal_now=1.078, cal_base=0.922
